@@ -1,0 +1,175 @@
+"""Graph optimiser: G1 terms→tags demotion + G2 sparse-node collapse.
+
+DataFrame re-expression of /root/reference/graph_optmiser/Optmiser.py:
+
+  * path = reverse(terms) — root→leaf (Optmiser.py:27); keyed by a
+    delimiter-joined string (terms are ``\\w``+space, so ``\\x01`` is safe)
+    because string equi-join keys hash/broadcast cheaper than array keys;
+  * only PRIMARY questions participate in the path maps — the reference
+    iterates ``alt_ques_map`` keys (Optmiser.py:25-26), and alternates are
+    never optimised;
+  * G1 (Optmiser.py:30-42): explode each distinct path's proper prefixes
+    of length 2..len-1 (the root-only prefix never demotes and the walk
+    starts at path[:-1]), left_anti-join against the populated-path set,
+    collect each path's demoted terms (the last element of every missing
+    prefix), then rewrite terms/tags with array ops — demoted terms keep
+    their terms-list order when appended to tags (convert_terms_to_tags
+    appends in terms order, Optmiser.py:8-19);
+  * G2 (Optmiser.py:44-54): on RE-computed paths (Optmiser.py:56-62),
+    paths of length node_level+1 with fewer than max_ques questions keep
+    only the first node_level path elements as terms (reversed back to
+    leaf→root), the rest demoted to tags in path order.
+
+Shuffle budget: one distinct over paths + one aggregation of missing
+prefixes + broadcast-sized joins back (the distinct-path set is tiny
+relative to the corpus — it is bounded by the term-combination space, not
+the document count). Both joins are marked broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowledgegraphgenerator_spark.config import (
+    OPTIMISER_MAX_QUES,
+    OPTIMISER_NODE_LEVEL,
+)
+
+_SEP = ""
+
+
+def _with_path(df: DataFrame) -> DataFrame:
+    return df.withColumn("path", F.reverse("terms")).withColumn(
+        "path_key", F.concat_ws(_SEP, F.reverse("terms"))
+    )
+
+
+def demote_empty_ancestors(
+    onto: DataFrame, primaries: DataFrame | None = None
+) -> DataFrame:
+    """G1. ``onto``: (doc_id, question, terms, tags); ``primaries``:
+    (doc_id) rows participating in path maps (default: all)."""
+    w = _with_path(onto)
+    scoped = w if primaries is None else w.join(primaries, "doc_id", "semi")
+    paths = scoped.select("path_key", "path").distinct()
+
+    prefixes = (
+        paths.filter(F.size("path") >= 3)
+        .select(
+            "path_key",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(path) - 1),"
+                    " i -> slice(path, 1, i))"
+                )
+            ).alias("prefix"),
+        )
+        .withColumn("prefix_key", F.concat_ws(_SEP, "prefix"))
+    )
+    missing = prefixes.join(
+        F.broadcast(paths.select(F.col("path_key").alias("prefix_key"))),
+        "prefix_key",
+        "left_anti",
+    )
+    demoted = missing.groupBy("path_key").agg(
+        F.collect_set(F.element_at("prefix", -1)).alias("demoted")
+    )
+
+    applied = (
+        scoped.join(F.broadcast(demoted), "path_key", "left")
+        .withColumn(
+            "new_terms",
+            F.when(
+                F.col("demoted").isNull(), F.col("terms")
+            ).otherwise(
+                F.expr(
+                    "filter(terms, t -> NOT array_contains(demoted, t))"
+                )
+            ),
+        )
+        .withColumn(
+            "new_tags",
+            F.when(F.col("demoted").isNull(), F.col("tags")).otherwise(
+                F.concat(
+                    "tags",
+                    F.expr("filter(terms, t -> array_contains(demoted, t))"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "question",
+            F.col("new_terms").alias("terms"),
+            F.col("new_tags").alias("tags"),
+        )
+    )
+    if primaries is None:
+        return applied
+    rest = w.join(primaries, "doc_id", "anti").select(
+        "doc_id", "question", "terms", "tags"
+    )
+    return applied.unionByName(rest)
+
+
+def collapse_sparse_nodes(
+    onto: DataFrame,
+    primaries: DataFrame | None = None,
+    node_level: int = OPTIMISER_NODE_LEVEL,
+    max_ques: int = OPTIMISER_MAX_QUES,
+) -> DataFrame:
+    """G2 on recomputed paths (Optmiser.py:44-54)."""
+    w = _with_path(onto)
+    scoped = w if primaries is None else w.join(primaries, "doc_id", "semi")
+    counts = scoped.groupBy("path_key").agg(
+        F.count(F.lit(1)).alias("n_ques")
+    )
+    applied = (
+        scoped.join(F.broadcast(counts), "path_key", "left")
+        .withColumn(
+            "collapse",
+            (F.size("path") == F.lit(node_level + 1))
+            & (F.col("n_ques") < F.lit(max_ques)),
+        )
+        .withColumn(
+            "new_terms",
+            F.when(
+                F.col("collapse"),
+                F.reverse(F.slice("path", 1, node_level)),
+            ).otherwise(F.col("terms")),
+        )
+        .withColumn(
+            "new_tags",
+            F.when(
+                F.col("collapse"),
+                F.concat(
+                    "tags",
+                    F.expr(
+                        f"slice(path, {node_level + 1},"
+                        f" greatest(size(path) - {node_level}, 0))"
+                    ),
+                ),
+            ).otherwise(F.col("tags")),
+        )
+        .select(
+            "doc_id",
+            "question",
+            F.col("new_terms").alias("terms"),
+            F.col("new_tags").alias("tags"),
+        )
+    )
+    if primaries is None:
+        return applied
+    rest = w.join(primaries, "doc_id", "anti").select(
+        "doc_id", "question", "terms", "tags"
+    )
+    return applied.unionByName(rest)
+
+
+def optimise_graph(
+    onto: DataFrame, primaries: DataFrame | None = None
+) -> DataFrame:
+    """G1 then G2 (G2 sees G1's rewritten paths — Optmiser.py:56-62)."""
+    return collapse_sparse_nodes(
+        demote_empty_ancestors(onto, primaries), primaries
+    )

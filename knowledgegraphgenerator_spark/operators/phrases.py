@@ -1,0 +1,168 @@
+"""Corpus term-dictionary construction (SURVEY.md §2.3 N4-N6, §2.4 A1-A5).
+
+Stage layout (every boundary a shuffle we either need or eliminate):
+
+  1. ``extract_doc_features`` — one fused Arrow pass per document emitting
+     the phrase/unigram/verb feature arrays in in-document emission order
+     (the reference runs spaCy TWICE per question, phrase_finder.py:54,68;
+     we run the chunker once). mapInPandas, no shuffle.
+  2. ``term_counts`` — posexplode + groupBy(term). Spark's hash aggregate
+     does map-side partial aggregation, so head-term skew collapses before
+     the exchange — the classic reason NOT to salt a count(): each mapper
+     emits at most |vocab| rows per term. min(struct(doc_id, pos)) rides
+     the same aggregate and materializes the Counter-insertion-order
+     tiebreaker (SURVEY.md Appendix A.4).
+  3. thresholds — strict ``>`` filters (phrase_finder.py:33-34).
+  4. ``dedup_equal_count_phrases`` — the A3 equal-count substring drop as a
+     self-join on the count key + containment predicate + left_anti
+     (set-difference semantics proven equivalent to the reference's
+     remove-first-occurrence loop, phrase_finder.py:35-44). The join key
+     (cnt) bounds the quadratic blow-up to within-count groups; the
+     dictionary is already thresholded and tiny relative to the corpus.
+  5. ``collect_ranked_dictionary`` — sort by (cnt desc, first_seen asc) =
+     Counter.most_common parity, collect to driver, broadcast. The
+     dictionary is corpus-derived and vocabulary-bounded (≪ corpus); if it
+     ever outgrows broadcast, the fallback is the token-block equi-join in
+     operators/linking.py docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowledgegraphgenerator_spark.config import (
+    PHRASES_FREQ_THRESHOLD,
+    UNIGRAM_FREQ_THRESHOLD,
+)
+from knowledgegraphgenerator_spark.core.extraction import extract_features
+from knowledgegraphgenerator_spark.core.matching import RankedDictionary
+
+_FEATURES_SCHEMA = (
+    "doc_id long, phrases array<string>, unigrams array<string>, "
+    "verbs array<string>"
+)
+
+
+def extract_doc_features(
+    df: DataFrame,
+    stop_tokens: frozenset[str],
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """(doc_id, norm_text) -> (doc_id, phrases, unigrams, verbs).
+
+    One chunker pass per doc inside mapInPandas; arrays preserve emission
+    order (trigrams before bigrams per chunk, phrase_finder.py:61-62).
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [extract_features(t or "", stop_tokens) for t in pdf["t"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phrases": [f[0] for f in feats],
+                    "unigrams": [f[1] for f in feats],
+                    "verbs": [f[2] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(gen, schema=_FEATURES_SCHEMA)
+
+
+def _counts(features: DataFrame, col: str) -> DataFrame:
+    """Explode one feature array and aggregate (term, cnt, first_seen).
+
+    first_seen = lexicographic min of (doc_id, pos) — deterministic
+    Counter-insertion-order stand-in (corpus order = doc_id ascending,
+    within-doc order = emission position).
+    """
+    return (
+        features.select(
+            "doc_id", F.posexplode(col).alias("pos", "term")
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first_seen"),
+        )
+    )
+
+
+def term_counts(features: DataFrame) -> dict[str, DataFrame]:
+    """-> {'phrases': df, 'unigrams': df, 'verbs': df} of (term, cnt,
+    first_seen), thresholds applied (strict >, phrase_finder.py:33-34);
+    verbs unthresholded at corpus stage (assignment breaks at cnt==1, so
+    cnt>=2 prefilter is applied at collect time — SURVEY.md §2.6 O5)."""
+    phrases = _counts(features, "phrases").filter(
+        F.col("cnt") > PHRASES_FREQ_THRESHOLD
+    )
+    unigrams = _counts(features, "unigrams").filter(
+        F.col("cnt") > UNIGRAM_FREQ_THRESHOLD
+    )
+    verbs = _counts(features, "verbs")
+    return {"phrases": phrases, "unigrams": unigrams, "verbs": verbs}
+
+
+def dedup_equal_count_phrases(phrases: DataFrame) -> DataFrame:
+    """Drop phrase B when ∃A: B substring of A, cnt(B)==cnt(A), A≠B
+    (phrase_finder.py:35-44). Self-join blocked on cnt, then left_anti."""
+    a = phrases.select(
+        F.col("term").alias("b_term"), F.col("cnt").alias("cnt")
+    )
+    b = phrases.select(
+        F.col("term").alias("a_term"), F.col("cnt").alias("cnt")
+    )
+    dropped = (
+        a.join(b, "cnt")
+        .filter(
+            (F.col("a_term") != F.col("b_term"))
+            & (F.instr(F.col("a_term"), F.col("b_term")) > 0)
+        )
+        .select(F.col("b_term").alias("term"))
+        .distinct()
+    )
+    return phrases.join(dropped, "term", "left_anti")
+
+
+def build_dictionary_frames(
+    df: DataFrame,
+    stop_tokens: frozenset[str],
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+) -> dict[str, DataFrame]:
+    feats = extract_doc_features(df, stop_tokens, id_col, text_col)
+    out = term_counts(feats)
+    out["phrases"] = dedup_equal_count_phrases(out["phrases"])
+    return out
+
+
+def collect_ranked_dictionary(
+    frames: dict[str, DataFrame], stop_tokens: frozenset[str]
+) -> RankedDictionary:
+    """Driver-side collect in most_common order → RankedDictionary.
+
+    Verbs stay UNthresholded: cnt==1 verbs can never match (the assignment
+    loop breaks at cnt==1, NGramStrategy.py:93-94) but they still
+    participate in the merged-count overwrite (NGramStrategy.py:52-55) — a
+    cnt-1 verb lemma that collides with a phrase/unigram term rewrites that
+    term's sort key.
+    """
+
+    def ranked(df: DataFrame) -> list[tuple[str, int]]:
+        rows = df.orderBy(
+            F.desc("cnt"), F.asc("first_seen.doc_id"), F.asc("first_seen.pos")
+        ).collect()
+        return [(r["term"], r["cnt"]) for r in rows]
+
+    return RankedDictionary(
+        phrases=ranked(frames["phrases"]),
+        unigrams=ranked(frames["unigrams"]),
+        verbs=ranked(frames["verbs"]),
+        stop_tokens=stop_tokens,
+    )

@@ -1,0 +1,98 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.1 re-expressed).
+
+corpus(url/doc_id, html?, text, lang)
+  → normalize (Arrow UDF)                       [no shuffle]
+  → extract features (fused chunker pass)       [no shuffle]
+  → term dictionary (agg + threshold + dedup)   [1 shuffle + tiny join]
+  → broadcast dictionary → link terms           [no shuffle]
+  → optimise hierarchy (G1, G2)                 [tiny-path-set shuffles]
+  → triples                                     [explode + distinct]
+
+Reference lifecycle: /root/reference/KnowledgeGraphGenerator.py:31-64.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowledgegraphgenerator_spark.core.stopwords import resolve_stop_words
+from knowledgegraphgenerator_spark.functions.udfs import (
+    extract_text_udf,
+    normalize_text_udf,
+)
+from knowledgegraphgenerator_spark.operators import hierarchy, linking, phrases, triples
+
+
+@dataclass
+class KGResult:
+    ontology: DataFrame
+    triples: DataFrame
+    dictionary_sizes: dict[str, int] = field(default_factory=dict)
+
+
+def normalize_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    html_col: str | None = None,
+) -> DataFrame:
+    """-> (doc_id, question, lang, norm_text). When ``html_col`` is given
+    and ``text_col`` is absent/null, text is extracted from HTML first
+    (byte-identical extractor, core/html.py)."""
+    cols = [F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")]
+    if html_col is not None and text_col not in df.columns:
+        text = extract_text_udf(F.col(html_col))
+    elif html_col is not None:
+        text = F.coalesce(
+            F.col(text_col), extract_text_udf(F.col(html_col))
+        )
+    else:
+        text = F.col(text_col)
+    out = df.select(*cols, text.alias("question"))
+    return out.withColumn(
+        "norm_text", normalize_text_udf(F.col("question"), F.col("lang"))
+    )
+
+
+def run_pipeline(
+    corpus: DataFrame,
+    lang: str = "en",
+    stop_words: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    html_col: str | None = None,
+    primaries: DataFrame | None = None,
+    synonyms: DataFrame | None = None,
+    altq: DataFrame | None = None,
+) -> KGResult:
+    stops = resolve_stop_words(lang, stop_words)
+    normalized = normalize_corpus(
+        corpus, id_col, text_col, lang_col, html_col
+    )
+    # The dictionary pass reads the corpus twice (count, then match) —
+    # cache the normalized projection, it is the narrow hot set.
+    normalized = normalized.persist()
+    frames = phrases.build_dictionary_frames(
+        normalized, stops, id_col="doc_id", text_col="norm_text"
+    )
+    dictionary = phrases.collect_ranked_dictionary(frames, stops)
+    onto = linking.link_terms(
+        normalized, dictionary,
+        id_col="doc_id", raw_col="question", norm_col="norm_text",
+    )
+    onto = hierarchy.optimise_graph(onto, primaries)
+    trip = triples.build_triples(onto, synonyms=synonyms, altq=altq)
+    return KGResult(
+        ontology=onto,
+        triples=trip,
+        dictionary_sizes={
+            "phrases": len(dictionary.phrases),
+            "unigrams": len(dictionary.unigrams),
+            "verbs": len(dictionary.verbs),
+        },
+    )

@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from knowledgegraphgenerator_spark.session import get_spark
+
+    s = get_spark(
+        app_name="kg-tests",
+        master=f"local[{os.environ.get('SPARK_TEST_CPUS', '4')}]",
+        shuffle_partitions=4,
+    )
+    yield s
+    s.stop()
