@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Timing protocol: a small warmup run (sf0.001 flagship) first so JVM/Arrow/
+Python-worker startup is not attributed to the first timed query; each
+query is then executed once with a noop-style full materialization
+(count of all columns via write to noop sink when available, else count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from knowledgegraphgenerator_spark.queries import QUERIES  # noqa: E402
+from knowledgegraphgenerator_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "kg_triples",
+    "term_count_threshold",
+    "bigram_count",
+    "substring_dedup",
+    "doc_terms_ranked",
+    "path_edges",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash16",
+    "embedding_topk",
+    "winnow_fingerprint",
+    "quality_score",
+    "pricing_summary",
+    "top_orders_per_cust",
+    "sessionize",
+    "hourly_event_counts",
+]
+
+
+def _run(df) -> int:
+    """Materialize fully; returns row count."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        app_name=f"kg-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, int(cpus)),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + Arrow + python workers + parquet reader
+    QUERIES["kg_triples"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = _run(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # throughput on the flagship: docs/sec and triples/sec
+    import pyspark.sql.functions as F  # noqa: N812
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    triples_df = QUERIES["kg_triples"](spark, sf_dir)
+    n_triples = triples_df.count()
+    kg_sec = time.perf_counter() - t0
+    _ = F
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                "docs": n_docs,
+                "triples": n_triples,
+                "docs_per_sec": round(n_docs / kg_sec, 1),
+                "triples_per_sec": round(n_triples / kg_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

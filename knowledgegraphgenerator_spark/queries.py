@@ -1,0 +1,978 @@
+"""Driver-verifiable query suite: one entry per operator family.
+
+Each ``QUERIES[name]`` is ``(spark, sf_dir) -> DataFrame`` and (except the
+rows-only KG-pipeline entries) has a matching ANSI-SQL oracle in
+``ORACLES[name]`` that DuckDB runs on the same parquet tables. Every
+computed column is aliased identically on both sides, and every value is
+integer/string (or rounded once, identically) so the order-insensitive
+value-hash comparison is deterministic across engines.
+
+Coverage map to SURVEY.md §2 (reference file:line cited per query):
+  scans S1-S7        parquet scans everywhere; column pruning via select
+  A1/A2              term_count_threshold, bigram_count, trigram_count
+  A3                 substring_dedup
+  A5                 dict_merge_priority
+  A4/O1-O3           doc_terms_ranked (window top-k ordering)
+  G3/A.10            path_edges
+  J5/G1              path_prefix_antijoin
+  J2/J3 joins        top_orders_per_cust, region_supplier_counts
+  left_anti          cust_no_orders
+  S7 window state    last_signup_propagation, sessionize
+  windowed agg       hourly_event_counts
+  TPC-H-style agg    pricing_summary
+  dedup (rebuild)    dedup_exact, minhash_signatures, lsh_candidate_pairs,
+                     jaccard_pairs, simhash16
+  similarity         embedding_topk (brute-force cosine top-k)
+  text analysis      lang_id_heuristic, quality_score, token_stats,
+                     winnow_fingerprint
+  KG pipeline        kg_triples, kg_ontology (rows-only; golden-tested
+                     against the sequential oracle in tests/)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+DOC_STOPWORDS = ("the", "a")
+VERBISH = ("scan", "sort", "merge", "join", "filter", "group", "stream",
+           "hash")
+MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31)
+MINHASH_B = (3, 5, 7, 11, 13, 17, 19, 23)
+MINHASH_P = 2147483647
+SIMHASH_MULT = 2654435761
+FP_MOD = 1048573
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(spark, sf_dir):
+    """(doc_id, pos, term) — posexploded whitespace tokens."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term"))
+        .where(F.col("term") != "")
+    )
+
+
+_TOKENS_SQL = (
+    "SELECT * FROM ("
+    "SELECT doc_id, unnest(generate_series(1, len(string_split(text,' ')))) AS pos,"
+    " unnest(string_split(text,' ')) AS term FROM documents"
+    ") WHERE term <> ''"
+)
+
+
+def _unigram_dict(spark, sf_dir):
+    """Unigram dictionary: cnt > 5 (strict >, common.py:19)."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 5)
+    )
+
+
+_UNIGRAM_SQL = (
+    f"SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM ({_TOKENS_SQL}) "
+    "GROUP BY term HAVING count(*) > 5"
+)
+
+
+def _bigrams(spark, sf_dir):
+    """(doc_id, bigram) in document order (N6 SQL n-grams,
+    phrase_finder.py:78-79 re-expressed without a UDF)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+
+
+_BIGRAMS_SQL = (
+    "SELECT doc_id, unnest(list_transform("
+    "list_zip(s[1:len(s)-1], s[2:]), x -> x[1] || ' ' || x[2])) AS bigram "
+    "FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents) "
+    "WHERE len(s) >= 2"
+)
+
+
+def _bigram_dict(spark, sf_dir):
+    return (
+        _bigrams(spark, sf_dir)
+        .groupBy(F.col("bigram").alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 2)
+    )
+
+
+_BIGRAM_DICT_SQL = (
+    f"SELECT bigram AS term, CAST(count(*) AS BIGINT) AS cnt "
+    f"FROM ({_BIGRAMS_SQL}) GROUP BY bigram HAVING count(*) > 2"
+)
+
+
+def _shingles(spark, sf_dir):
+    """Distinct (doc_id, shingle) token 3-gram shingles."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks)-2, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = (
+    "SELECT DISTINCT doc_id, unnest(list_transform("
+    "list_zip(s[1:len(s)-2], s[2:len(s)-1], s[3:]),"
+    " x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle "
+    "FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents) "
+    "WHERE len(s) >= 3"
+)
+
+
+def _shingle_ids(spark, sf_dir):
+    """(doc_id, sid) — dense shingle ids, row_number over sorted shingles.
+
+    Dense ids make every downstream hash pure integer arithmetic that
+    DuckDB reproduces bit-for-bit (cross-engine hash functions differ).
+    At web scale the dictionary window would be replaced by
+    ``xxhash64(shingle)`` — oracle parity is why ids are used here.
+    """
+    sh = _shingles(spark, sf_dir)
+    ids = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn(
+            "sid",
+            F.row_number().over(Window.orderBy("shingle")).cast("long"),
+        )
+    )
+    return sh.join(ids, "shingle").select("doc_id", "sid")
+
+
+_SHINGLE_IDS_SQL = (
+    f"WITH sh AS ({_SHINGLES_SQL}), "
+    "ids AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT)"
+    " AS sid FROM (SELECT DISTINCT shingle FROM sh)) "
+    "SELECT sh.doc_id, ids.sid FROM sh JOIN ids USING (shingle)"
+)
+
+
+def _minhash(spark, sf_dir):
+    """(doc_id, j, mh) — 8 permutation minhashes over shingle ids."""
+    ids = _shingle_ids(spark, sf_dir)
+    params = ids.sparkSession.createDataFrame(
+        [(j, MINHASH_A[j], MINHASH_B[j]) for j in range(8)],
+        "j int, a long, b long",
+    )
+    return (
+        ids.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min((F.col("a") * F.col("sid") + F.col("b")) % MINHASH_P)
+            .alias("mh")
+        )
+    )
+
+
+_MINHASH_PARAMS_SQL = ", ".join(
+    f"({j}, {MINHASH_A[j]}, {MINHASH_B[j]})" for j in range(8)
+)
+_MINHASH_SQL = (
+    f"WITH sids AS ({_SHINGLE_IDS_SQL}), "
+    f"params(j, a, b) AS (VALUES {_MINHASH_PARAMS_SQL}) "
+    f"SELECT doc_id, j, min((a * sid + b) % {MINHASH_P}) AS mh "
+    "FROM sids CROSS JOIN params GROUP BY doc_id, j"
+)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_term_count_threshold(spark, sf_dir):
+    """A1/A2: corpus term counting + strict-> threshold
+    (/root/reference/strategy/phrase_finder.py:21-34)."""
+    return _unigram_dict(spark, sf_dir)
+
+
+def q_bigram_count(spark, sf_dir):
+    """N6+A1: SQL n-grams + counting (phrase_finder.py:61-65,78-79)."""
+    return _bigram_dict(spark, sf_dir)
+
+
+def q_trigram_count(spark, sf_dir):
+    """N6 trigrams (phrase_finder.py:61)."""
+    return (
+        _shingles(spark, sf_dir)  # distinct per doc
+        .groupBy(F.col("shingle").alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 2)
+    )
+
+
+def q_substring_dedup(spark, sf_dir):
+    """A3: equal-count substring dedup as blocked self-join + left_anti
+    (phrase_finder.py:35-44)."""
+    b = _bigram_dict(spark, sf_dir)
+    sub = b.select(F.col("term").alias("b_term"), "cnt")
+    sup = b.select(F.col("term").alias("a_term"), "cnt")
+    dropped = (
+        sub.join(sup, "cnt")
+        .where(
+            (F.col("a_term") != F.col("b_term"))
+            & (F.instr(F.col("a_term"), F.col("b_term")) > 0)
+        )
+        .select(F.col("b_term").alias("term"))
+        .distinct()
+    )
+    return b.join(dropped, "term", "left_anti")
+
+
+def q_dict_merge_priority(spark, sf_dir):
+    """A5: dict.update overwrite merge — verbs over unigrams over phrases
+    (NGramStrategy.py:52-55) as full-outer coalesce."""
+    big = _bigram_dict(spark, sf_dir).select("term", F.col("cnt").alias("b_cnt"))
+    uni = _unigram_dict(spark, sf_dir).select("term", F.col("cnt").alias("u_cnt"))
+    verb = (
+        _tokens(spark, sf_dir)
+        .where(F.col("term").isin(*VERBISH))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("v_cnt"))
+        .where(F.col("v_cnt") >= 2)
+    )
+    return (
+        big.join(uni, "term", "full")
+        .join(verb, "term", "full")
+        .select(
+            "term",
+            F.coalesce("v_cnt", "u_cnt", "b_cnt").alias("merged_cnt"),
+        )
+    )
+
+
+def _ranked(spark, sf_dir):
+    """(doc_id, term, cnt, rnk): per-doc dictionary terms ranked ascending
+    by corpus count (O1 — rarest first = deepest, NGramStrategy.py:105)."""
+    toks = _tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    u = _unigram_dict(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.asc("cnt"), F.asc("term"))
+    return (
+        toks.join(u, "term")
+        .select(
+            "doc_id", "term", "cnt",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+    )
+
+
+_RANKED_SQL = (
+    f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL})), "
+    f"u AS ({_UNIGRAM_SQL}) "
+    "SELECT doc_id, term, cnt, CAST(row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY cnt ASC, term ASC) AS BIGINT) AS rnk "
+    "FROM toks JOIN u USING (term)"
+)
+
+
+def q_doc_terms_ranked(spark, sf_dir):
+    """O1/A4: per-doc term ordering by corpus frequency (window ranking)."""
+    return _ranked(spark, sf_dir)
+
+
+def q_path_edges(spark, sf_dir):
+    """G3/A.10: root→leaf adjacency from per-doc ranked term paths
+    (root = most frequent; ontology_analyzer.py:74-111 re-expressed)."""
+    r = _ranked(spark, sf_dir)
+    n = r.groupBy("doc_id").agg(F.max("rnk").alias("n"))
+    parent = r.select("doc_id", F.col("term").alias("parent"),
+                      F.col("rnk").alias("prnk"))
+    child = r.select("doc_id", F.col("term").alias("child"),
+                     F.col("rnk").alias("crnk"))
+    inner = (
+        parent.join(child, "doc_id")
+        .where(F.col("prnk") == F.col("crnk") + 1)  # parent = next-more-frequent
+        .select("parent", "child")
+    )
+    roots = (
+        r.join(n, "doc_id")
+        .where(F.col("rnk") == F.col("n"))  # most frequent term
+        .select(F.lit("Auto Ontology").alias("parent"),
+                F.col("term").alias("child"))
+    )
+    return inner.unionByName(roots).distinct()
+
+
+def q_path_prefix_antijoin(spark, sf_dir):
+    """J5/G1: paths whose parent prefix has no documents — the demotion
+    anti-join (Optmiser.py:30-42)."""
+    r = _ranked(spark, sf_dir)
+    paths = (
+        r.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(-cnt AS nc,"
+                " term))), x -> x.term)"
+            ).alias("path")
+        )
+        .select(F.concat_ws("/", "path").alias("path_str"),
+                F.col("path"))
+        .distinct()
+    )
+    with_prefix = paths.where(F.size("path") >= 2).select(
+        "path_str",
+        F.concat_ws("/", F.slice("path", 1, F.size("path") - 1)).alias("prefix_str"),
+        F.element_at("path", -1).alias("demoted"),
+    )
+    return (
+        with_prefix.join(
+            paths.select(F.col("path_str").alias("prefix_str")),
+            "prefix_str",
+            "left_anti",
+        ).select("path_str", "demoted")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min id."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 perms) over token-3-gram shingles."""
+    return _minhash(spark, sf_dir)
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """LSH banding (4 bands x 2 rows) → candidate near-dup pairs."""
+    mh = _minhash(spark, sf_dir)
+    even = mh.where(F.col("j") % 2 == 0).select(
+        "doc_id", (F.col("j") / 2).cast("int").alias("band"),
+        F.col("mh").alias("h0"))
+    odd = mh.where(F.col("j") % 2 == 1).select(
+        "doc_id", ((F.col("j") - 1) / 2).cast("int").alias("band"),
+        F.col("mh").alias("h1"))
+    sigs = even.join(odd, ["doc_id", "band"])
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "h0", "h1")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "h0", "h1")
+    return (
+        a.join(b, ["band", "h0", "h1"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs, all-integer (>= 0.8 as 10*i >= 8*u)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .where(F.col("inter") * 10 >= F.col("union_n") * 8)
+        .select("doc_a", "doc_b", "inter", "union_n")
+    )
+
+
+def q_simhash16(spark, sf_dir):
+    """16-bit SimHash from dense token ids, token-frequency weighted."""
+    toks = _tokens(spark, sf_dir)
+    ids = (
+        toks.select("term").distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy("term")).cast("long")
+        )
+    )
+    weighted = (
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("w"))
+        .join(ids, "term")
+        .withColumn("h", (F.col("tid") * SIMHASH_MULT) % 65536)
+    )
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    return (
+        weighted.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "contrib",
+            F.when(
+                F.expr("(h >> bit) & 1") == 1, F.col("w")
+            ).otherwise(-F.col("w")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)"))
+                .otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for query vectors (vec_id < 10).
+
+    JVM-side posexplode + hash-agg dot products — no Python in the loop;
+    the IVF/LSH-bucketed scale path lives in operators/similarity.py.
+    """
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>"))
+            .alias("pos", "v"),
+        )
+    )
+    norms = e.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("v").alias("qv")
+    )
+    dots = (
+        q.join(e, "pos")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("qn"))
+    sims = (
+        dots.join(qn, "query_id")
+        .join(norms, "vec_id")
+        .withColumn("sim", F.col("dot") / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "rnk", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Stop-word-ratio language gate (rebuild text-analysis op)."""
+    toks = _tokens(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("term").isin(*DOC_STOPWORDS), 1).otherwise(0)
+        ).alias("hits"),
+    )
+    return agg.select(
+        "doc_id", "hits", "n_tokens",
+        F.when(F.col("hits") * 10 >= F.col("n_tokens"), F.lit("en_like"))
+        .otherwise(F.lit("other")).alias("pred"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Length/stopword/diversity quality scoring, all-integer."""
+    toks = _tokens(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("term").isin(*DOC_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stop"),
+        F.sum(F.length("term")).alias("sum_len"),
+    )
+    return agg.select(
+        "doc_id", "n_tokens",
+        F.expr("sum_len * 100 div n_tokens").alias("mean_len_x100"),
+        F.expr("n_distinct * 1000 div n_tokens").alias("distinct_x1000"),
+        F.expr("n_stop * 1000 div n_tokens").alias("stop_x1000"),
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & (F.expr("n_stop * 1000 div n_tokens") < 300)
+            & (F.expr("n_distinct * 1000 div n_tokens") >= 200),
+            F.lit("keep"),
+        ).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+    )
+    return d.select("doc_id", F.length("text").alias("n_chars")).join(
+        agg, "doc_id"
+    )
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash 4-gram document fingerprint (winnowing-style min)."""
+    toks = _tokens(spark, sf_dir)
+    ids = (
+        toks.select("term").distinct()
+        .withColumn(
+            "tid", F.row_number().over(Window.orderBy("term")).cast("long")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.join(ids, "term").select("doc_id", "pos", "tid")
+    grams = (
+        seq.withColumn("t1", F.lead("tid", 1).over(w))
+        .withColumn("t2", F.lead("tid", 2).over(w))
+        .withColumn("t3", F.lead("tid", 3).over(w))
+        .where(F.col("t3").isNotNull())
+        .withColumn(
+            "h",
+            (((F.col("tid") * 31 + F.col("t1")) % FP_MOD * 31
+              + F.col("t2")) % FP_MOD * 31 + F.col("t3")) % FP_MOD,
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"),
+        F.countDistinct("h").alias("n_shingles"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style aggregation in exact integer cents."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-01"))
+    )
+    prepared = l.select(
+        "l_returnflag", "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+    )
+    return prepared.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("cents").alias("sum_base_cents"),
+        F.sum(F.col("cents") * (100 - F.col("disc_pct"))).alias("sum_disc_x100"),
+        F.sum(
+            F.col("cents") * (100 - F.col("disc_pct")) * (100 + F.col("tax_pct"))
+        ).alias("sum_charge_x10000"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    """Join + per-group top-k window (O3/A10 pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    top = (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+    return top.join(c, top.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_name", "rnk", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+
+def q_cust_no_orders(spark, sf_dir):
+    """left_anti join family (A3/J5 pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_region_supplier_counts(spark, sf_dir):
+    """Multi-way broadcast join + aggregation."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+            .alias("acctbal_cents"),
+        )
+    )
+
+
+def q_last_signup_propagation(spark, sf_dir):
+    """S7 prev-primary propagation pattern: last non-null carried forward
+    (CSVExportParser.py:43-76 re-expressed as a window)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w).alias("last_signup_event"),
+    )
+
+
+def q_hourly_event_counts(spark, sf_dir):
+    """Tumbling-window aggregation (streaming-shaped, batch-executed)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .groupBy("hour_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via window cumsum."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_gap = e.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.lag(F.unix_timestamp("ts")).over(w).alias("prev_epoch"),
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_epoch").isNull()
+            | (F.col("ts_epoch") - F.col("prev_epoch") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = with_gap.withColumn(
+        "session_id", F.sum("new_sess").over(wc).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_epoch").alias("start_epoch"),
+        F.max("ts_epoch").alias("end_epoch"),
+    )
+
+
+def q_kg_triples(spark, sf_dir):
+    """Flagship: full KG construction over the documents table
+    (rows-only driver check; golden-tested in tests/test_pipeline_golden)."""
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return run_pipeline(docs).triples
+
+
+def q_kg_ontology(spark, sf_dir):
+    """KG ontology rows (terms/tags per doc), arrays flattened to strings
+    for a stable driver-side schema (rows-only check)."""
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    onto = run_pipeline(docs).ontology
+    return onto.select(
+        "doc_id",
+        F.concat_ws("|", "terms").alias("terms_str"),
+        F.concat_ws("|", "tags").alias("tags_str"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "term_count_threshold": q_term_count_threshold,
+    "bigram_count": q_bigram_count,
+    "trigram_count": q_trigram_count,
+    "substring_dedup": q_substring_dedup,
+    "dict_merge_priority": q_dict_merge_priority,
+    "doc_terms_ranked": q_doc_terms_ranked,
+    "path_edges": q_path_edges,
+    "path_prefix_antijoin": q_path_prefix_antijoin,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "simhash16": q_simhash16,
+    "embedding_topk": q_embedding_topk,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "quality_score": q_quality_score,
+    "token_stats": q_token_stats,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "pricing_summary": q_pricing_summary,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "cust_no_orders": q_cust_no_orders,
+    "region_supplier_counts": q_region_supplier_counts,
+    "last_signup_propagation": q_last_signup_propagation,
+    "hourly_event_counts": q_hourly_event_counts,
+    "sessionize": q_sessionize,
+    "kg_triples": q_kg_triples,
+    "kg_ontology": q_kg_ontology,
+}
+
+
+ORACLES: dict[str, str] = {
+    "term_count_threshold": _UNIGRAM_SQL,
+    "bigram_count": _BIGRAM_DICT_SQL,
+    "trigram_count": (
+        f"SELECT shingle AS term, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM ({_SHINGLES_SQL}) GROUP BY shingle HAVING count(*) > 2"
+    ),
+    "substring_dedup": (
+        f"WITH b AS ({_BIGRAM_DICT_SQL}) "
+        "SELECT term, cnt FROM b x WHERE NOT EXISTS ("
+        "SELECT 1 FROM b o WHERE o.cnt = x.cnt AND o.term <> x.term"
+        " AND position(x.term IN o.term) > 0)"
+    ),
+    "dict_merge_priority": (
+        f"WITH big AS ({_BIGRAM_DICT_SQL}), uni AS ({_UNIGRAM_SQL}), "
+        f"verb AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM ({_TOKENS_SQL}) WHERE term IN "
+        f"{VERBISH!r} GROUP BY term HAVING count(*) >= 2) "
+        "SELECT coalesce(verb.term, uni.term, big.term) AS term, "
+        "coalesce(verb.cnt, uni.cnt, big.cnt) AS merged_cnt "
+        "FROM big FULL OUTER JOIN uni ON big.term = uni.term "
+        "FULL OUTER JOIN verb ON coalesce(uni.term, big.term) = verb.term"
+    ),
+    "doc_terms_ranked": _RANKED_SQL,
+    "path_edges": (
+        f"WITH r AS ({_RANKED_SQL}), "
+        "n AS (SELECT doc_id, max(rnk) AS n FROM r GROUP BY doc_id), "
+        "inner_e AS (SELECT DISTINCT p.term AS parent, c.term AS child "
+        "FROM r p JOIN r c ON p.doc_id = c.doc_id AND p.rnk = c.rnk + 1), "
+        "roots AS (SELECT DISTINCT 'Auto Ontology' AS parent, r.term AS child "
+        "FROM r JOIN n ON r.doc_id = n.doc_id AND r.rnk = n.n) "
+        "SELECT * FROM (SELECT * FROM inner_e UNION SELECT * FROM roots)"
+    ),
+    "path_prefix_antijoin": (
+        f"WITH r AS ({_RANKED_SQL}), "
+        "paths AS (SELECT DISTINCT "
+        "array_to_string(list(term ORDER BY cnt DESC, term ASC), '/') AS path_str, "
+        "list(term ORDER BY cnt DESC, term ASC) AS path "
+        "FROM r GROUP BY doc_id), "
+        "p2 AS (SELECT DISTINCT path_str, "
+        "array_to_string(path[1:len(path)-1], '/') AS prefix_str, "
+        "path[len(path)] AS demoted FROM paths WHERE len(path) >= 2) "
+        "SELECT path_str, demoted FROM p2 WHERE prefix_str NOT IN "
+        "(SELECT path_str FROM paths)"
+    ),
+    "dedup_exact": (
+        "SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+    "minhash_signatures": _MINHASH_SQL,
+    "lsh_candidate_pairs": (
+        f"WITH mh AS ({_MINHASH_SQL}), "
+        "sigs AS (SELECT e.doc_id, CAST(e.j / 2 AS INT) AS band,"
+        " e.mh AS h0, o.mh AS h1 "
+        "FROM mh e JOIN mh o ON e.doc_id = o.doc_id AND o.j = e.j + 1 "
+        "WHERE e.j % 2 = 0) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM sigs a JOIN sigs b ON a.band = b.band AND a.h0 = b.h0"
+        " AND a.h1 = b.h1 WHERE a.doc_id < b.doc_id"
+    ),
+    "jaccard_pairs": (
+        f"WITH sh AS ({_SHINGLES_SQL}), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh"
+        " GROUP BY doc_id), "
+        "ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        " CAST(count(*) AS BIGINT) AS inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS union_n "
+        "FROM ix JOIN sizes na ON ix.doc_a = na.doc_id "
+        "JOIN sizes nb ON ix.doc_b = nb.doc_id "
+        "WHERE inter * 10 >= (na.n + nb.n - inter) * 8"
+    ),
+    "simhash16": (
+        f"WITH toks AS ({_TOKENS_SQL}), "
+        "ids AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT)"
+        " AS tid FROM (SELECT DISTINCT term FROM toks)), "
+        "weighted AS (SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS w,"
+        f" (any_value(tid) * {SIMHASH_MULT}) % 65536 AS h "
+        "FROM toks t JOIN ids USING (term) GROUP BY doc_id, t.term), "
+        "bits AS (SELECT unnest(generate_series(0, 15)) AS bit), "
+        "persig AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1"
+        " THEN w ELSE -w END) AS s FROM weighted CROSS JOIN bits"
+        " GROUP BY doc_id, bit) "
+        "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1 << bit)"
+        " ELSE 0 END) AS BIGINT) AS simhash FROM persig GROUP BY doc_id"
+    ),
+    "embedding_topk": (
+        "WITH e AS (SELECT vec_id,"
+        " unnest(generate_series(1, len(embedding))) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+        "norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e"
+        " GROUP BY vec_id), "
+        "q AS (SELECT vec_id AS query_id, pos, v AS qv FROM e"
+        " WHERE vec_id < 10), "
+        "dots AS (SELECT query_id, e.vec_id, sum(qv * v) AS dot "
+        "FROM q JOIN e USING (pos) WHERE e.vec_id <> q.query_id "
+        "GROUP BY query_id, e.vec_id), "
+        "sims AS (SELECT query_id, d.vec_id,"
+        " dot / (qn.nrm * nn.nrm) AS sim "
+        "FROM dots d JOIN norms qn ON d.query_id = qn.vec_id "
+        "JOIN norms nn ON d.vec_id = nn.vec_id), "
+        "ranked AS (SELECT query_id, vec_id, CAST(row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT)"
+        " AS rnk FROM sims) "
+        "SELECT query_id, rnk, vec_id AS neighbor_id FROM ranked"
+        " WHERE rnk <= 3"
+    ),
+    "lang_id_heuristic": (
+        f"WITH toks AS ({_TOKENS_SQL}), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        f"CAST(sum(CASE WHEN term IN {DOC_STOPWORDS!r} THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS hits FROM toks GROUP BY doc_id) "
+        "SELECT doc_id, hits, n_tokens, CASE WHEN hits * 10 >= n_tokens"
+        " THEN 'en_like' ELSE 'other' END AS pred FROM agg"
+    ),
+    "quality_score": (
+        f"WITH toks AS ({_TOKENS_SQL}), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(DISTINCT term) AS BIGINT) AS n_distinct, "
+        f"CAST(sum(CASE WHEN term IN {DOC_STOPWORDS!r} THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_stop, "
+        "CAST(sum(length(term)) AS BIGINT) AS sum_len FROM toks"
+        " GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, sum_len * 100 // n_tokens AS mean_len_x100, "
+        "n_distinct * 1000 // n_tokens AS distinct_x1000, "
+        "n_stop * 1000 // n_tokens AS stop_x1000, "
+        "CASE WHEN n_tokens >= 20 AND n_stop * 1000 // n_tokens < 300 AND "
+        "n_distinct * 1000 // n_tokens >= 200 THEN 'keep' ELSE 'drop' END"
+        " AS verdict FROM agg"
+    ),
+    "token_stats": (
+        f"WITH toks AS ({_TOKENS_SQL}), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(count(DISTINCT term) AS BIGINT) AS n_distinct FROM toks"
+        " GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,"
+        " n_tokens, n_distinct FROM documents d JOIN agg"
+        " ON d.doc_id = agg.doc_id"
+    ),
+    "winnow_fingerprint": (
+        f"WITH toks AS ({_TOKENS_SQL}), "
+        "ids AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT)"
+        " AS tid FROM (SELECT DISTINCT term FROM toks)), "
+        "seq AS (SELECT doc_id, pos, tid FROM toks JOIN ids USING (term)), "
+        "grams AS (SELECT doc_id, tid, "
+        "lead(tid, 1) OVER w AS t1, lead(tid, 2) OVER w AS t2,"
+        " lead(tid, 3) OVER w AS t3 FROM seq"
+        " WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) "
+        f"SELECT doc_id, min((((tid * 31 + t1) % {FP_MOD} * 31 + t2)"
+        f" % {FP_MOD} * 31 + t3) % {FP_MOD}) AS fingerprint, "
+        "CAST(count(DISTINCT (((tid * 31 + t1) % "
+        f"{FP_MOD} * 31 + t2) % {FP_MOD} * 31 + t3) % {FP_MOD})"
+        " AS BIGINT) AS n_shingles "
+        "FROM grams WHERE t3 IS NOT NULL GROUP BY doc_id"
+    ),
+    "pricing_summary": (
+        "WITH prepared AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(round(l_quantity) AS BIGINT) AS qty, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct, "
+        "CAST(round(l_tax * 100) AS BIGINT) AS tax_pct "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01') "
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(qty) AS BIGINT) AS sum_qty, "
+        "CAST(sum(cents) AS BIGINT) AS sum_base_cents, "
+        "CAST(sum(cents * (100 - disc_pct)) AS BIGINT) AS sum_disc_x100, "
+        "CAST(sum(cents * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT)"
+        " AS sum_charge_x10000, "
+        "CAST(count(*) AS BIGINT) AS count_order "
+        "FROM prepared GROUP BY l_returnflag, l_linestatus"
+    ),
+    "top_orders_per_cust": (
+        "WITH top AS (SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk"
+        " FROM orders) "
+        "SELECT c_custkey, c_name, rnk, o_orderkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
+        "FROM top JOIN customer ON top.o_custkey = customer.c_custkey "
+        "WHERE rnk <= 3"
+    ),
+    "cust_no_orders": (
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "region_supplier_counts": (
+        "SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers, "
+        "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)"
+        " AS acctbal_cents "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "last_signup_propagation": (
+        "SELECT event_id, user_id, "
+        "last_value(CASE WHEN event_type = 'signup' THEN event_id END"
+        " IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS last_signup_event FROM events"
+    ),
+    "hourly_event_counts": (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,"
+        " event_type, CAST(count(*) AS BIGINT) AS n "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "sessionize": (
+        "WITH g AS (SELECT user_id, event_id,"
+        " CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, "
+        "CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts,"
+        " event_id))) AS BIGINT) AS prev_epoch FROM events), "
+        "s AS (SELECT *, CASE WHEN prev_epoch IS NULL OR ts_epoch -"
+        " prev_epoch > 1800 THEN 1 ELSE 0 END AS new_sess FROM g), "
+        "t AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id"
+        " ORDER BY ts_epoch, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW) AS BIGINT) AS session_id FROM s) "
+        "SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "min(ts_epoch) AS start_epoch, max(ts_epoch) AS end_epoch "
+        "FROM t GROUP BY user_id, session_id"
+    ),
+    # kg_triples / kg_ontology: rows-only (chunker+masking are the
+    # non-SQL-expressible core; golden-tested vs the sequential oracle).
+}
