@@ -1,0 +1,120 @@
+"""Connected components over an edge DataFrame (canonicalization core).
+
+Large-star / small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14 — public algorithm), the
+standard shuffle-bounded way to run CC on DataFrames without GraphX:
+
+  large-star: every node points its larger neighbors at its current
+              minimum neighbor (or itself);
+  small-star: every node points its smaller-or-equal neighbors at the
+              minimum.
+
+Each round is two aggregations; convergence when the edge multiset stops
+changing (checked via a cheap count + checksum). The driver loop calls
+``localCheckpoint`` every round to cut lineage — THE known failure mode
+of iterative DataFrame jobs at scale (SURVEY.md §7.4 item 6).
+
+Used by term canonicalization: MinHash-LSH near-dup pairs (operators/
+dedup.py) → CC labels → canonical term id = component minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return edges.unionByName(rev).where("src != dst").distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor to min(neighborhood ∪ self)."""
+    nbrs = _symmetrize(edges)
+    mins = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where("src != dst")
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's <=-neighborhood, connect all to the minimum."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).distinct()
+    mins = canon.groupBy("src").agg(F.min("dst").alias("m"))
+    with_min = canon.join(mins, "src")
+    a = with_min.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    b = with_min.select(F.col("src"), F.col("m").alias("dst"))
+    return a.unionByName(b).where("src != dst").distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id_a, id_b) undirected pairs -> (id, component) labels, where
+    component = min id in the component. Nodes appearing in no surviving
+    edge map to themselves (callers union isolated ids as needed)."""
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where("src != dst").distinct().localCheckpoint()
+
+    prev = _checksum(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    labels = edges.select(
+        F.col("src").alias("id"), F.col("dst").alias("component")
+    ).groupBy("id").agg(F.min("component").alias("component"))
+    roots = (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .join(labels, "id", "anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return labels.unionByName(roots)
+
+
+def canonicalize_terms(
+    terms: DataFrame,
+    pairs: DataFrame,
+    term_col: str = "term",
+    id_col: str = "term_id",
+) -> DataFrame:
+    """Merge surface-form variants: CC labels over variant pairs →
+    (term, canonical_term_id). Terms without any pair map to themselves."""
+    labels = connected_components(pairs)
+    return (
+        terms.join(labels, terms[id_col] == labels["id"], "left")
+        .select(
+            term_col,
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Synonym mining: Word2Vec over answer/web text, top-3 per vocab word.
+
+Re-expression of the reference synonym generator
+(/root/reference/synonym_generator/syn_gen_with_kg_answers.py:17-76):
+
+  * dedup corpus rows by answer text, keeping the FIRST occurrence
+    (P12, synonym_generator.py:33-39) — deterministic keep-min window;
+  * skip template answers starting ``{{`` (P10, :34-35);
+  * vocabulary = terms ∪ tags, pre-`:`, ``**``/``!!`` stripped, split on
+    '/' (P13, synonym_generator.py:8-41);
+  * train ``pyspark.ml.feature.Word2Vec`` (vectorSize=100, windowSize=5,
+    minCount=1 — reference gensim params at syn_gen_with_kg_answers.py:
+    45-48; epochs lowered from the reference's 1000: ml.Word2Vec's
+    maxIter is per-partition passes and the synonym quality gate is
+    top-3 cosine rank, not loss);
+  * top-3 synonyms per vocab word by cosine similarity (A10, :61-71)
+    via ``findSynonyms`` — or the exact DataFrame cross-join + window
+    ranking in ``topk_synonyms_exact`` when the model vocab is needed
+    as a table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from knowledgegraphgenerator_spark.config import (
+    W2V_MIN_COUNT,
+    W2V_TOP_N,
+    W2V_VECTOR_SIZE,
+    W2V_WINDOW,
+)
+
+
+def dedup_answers(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
+    """First row per distinct answer text (synonym_generator.py:33-39)."""
+    w = Window.partitionBy(text_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+        .where(~F.col(text_col).startswith("{{"))
+    )
+
+
+def clean_vocab_term(col: F.Column) -> F.Column:
+    """P13: take pre-':' part, strip **/!!, keep pre-'/' surface form."""
+    c = F.split(col, ":").getItem(0)
+    c = F.regexp_replace(c, r"^\*\*", "")
+    c = F.regexp_replace(c, r"^!!", "")
+    return F.split(c, "/").getItem(0)
+
+
+def train_synonym_model(
+    corpus: DataFrame,
+    text_col: str = "text",
+    vector_size: int = W2V_VECTOR_SIZE,
+    window: int = W2V_WINDOW,
+    min_count: int = W2V_MIN_COUNT,
+    max_iter: int = 10,
+):
+    from pyspark.ml.feature import Word2Vec
+
+    tokens = corpus.select(
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("tokens")
+    ).where(F.size("tokens") > 0)
+    w2v = Word2Vec(
+        vectorSize=vector_size,
+        windowSize=window,
+        minCount=min_count,
+        maxIter=max_iter,
+        seed=42,
+        inputCol="tokens",
+        outputCol="vec",
+    )
+    return w2v.fit(tokens)
+
+
+def topk_synonyms(
+    model, vocabulary: list[str], k: int = W2V_TOP_N
+) -> list[tuple[str, str, float]]:
+    """(word, synonym, similarity) rows, top-k per vocab word present in
+    the model (A10, syn_gen_with_kg_answers.py:61-71)."""
+    out: list[tuple[str, str, float]] = []
+    for word in vocabulary:
+        try:
+            rows = model.findSynonyms(word.lower(), k).collect()
+        except Exception:
+            continue
+        for r in rows:
+            out.append((word, r["word"], float(r["similarity"])))
+    return out
+
+
+def topk_synonyms_exact(
+    model, spark, vocabulary: list[str], k: int = W2V_TOP_N
+) -> DataFrame:
+    """Exact DataFrame variant: model vectors table × vocab vectors →
+    cosine → row_number per word (the distributed path when |vocab| is
+    large; findSynonyms loops the driver)."""
+    vectors = model.getVectors()  # (word, vector)
+    e = vectors.select(
+        "word", F.posexplode(F.expr("cast(vector as array<double>)"))
+        .alias("pos", "v"),
+    )
+    norms = e.groupBy("word").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    vocab_df = spark.createDataFrame(
+        [(w.lower(),) for w in vocabulary], "qword string"
+    )
+    q = e.join(
+        vocab_df, e.word == vocab_df.qword, "semi"
+    ).select(F.col("word").alias("qword"), "pos", F.col("v").alias("qv"))
+    dots = (
+        q.join(e, "pos")
+        .where(F.col("word") != F.col("qword"))
+        .groupBy("qword", "word")
+        .agg(F.sum(F.col("qv") * F.col("v")).alias("dot"))
+    )
+    qn = norms.select(F.col("word").alias("qword"), F.col("nrm").alias("qn"))
+    sims = (
+        dots.join(qn, "qword").join(norms, "word")
+        .withColumn("similarity", F.col("dot") / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("qword").orderBy(F.desc("similarity"), F.asc("word"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.col("qword").alias("word"),
+                F.col("word").alias("synonym"), "similarity", "rnk")
+    )
+
+
+def write_synonyms_csv(rows: list[tuple[str, str, float]], path: str) -> None:
+    """``term,"a/b/c"`` format consumed back by S10
+    (JSONExportParser.py:88-96)."""
+    import csv
+    from collections import defaultdict
+
+    by_word: dict[str, list[str]] = defaultdict(list)
+    for word, syn, _ in sorted(rows, key=lambda r: (r[0], -r[2], r[1])):
+        by_word[word].append(syn)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        for word, syns in by_word.items():
+            w.writerow([word, "/".join(syns)])

@@ -58,6 +58,70 @@ def normalize_corpus(
     )
 
 
+def run_faq_pipeline(
+    spark,
+    file_path: str,
+    request_type: str = "csv",
+    lang: str = "en",
+    synonyms_csv_path: str | None = None,
+    output_json_path: str | None = None,
+):
+    """Reference CLI lifecycle (KnowledgeGraphGenerator.py:31-64):
+    parse → extract/link (ALL questions) → optimise (primaries only —
+    the reference's path maps iterate altq_map keys, Optmiser.py:25-26)
+    → export JSON + triples. Returns (export_df, KGResult)."""
+    from knowledgegraphgenerator_spark.operators.export import (
+        build_export,
+        write_export_json,
+    )
+    from knowledgegraphgenerator_spark.sources.faq import get_input_parser
+
+    parser = get_input_parser(request_type)
+    if request_type == "json_export":
+        parsed = parser(file_path, lang, synonyms_csv_path)
+    else:
+        parsed = parser(file_path, lang)
+    faq = parsed.to_df(spark)
+
+    corpus = faq.select(
+        F.col("ques_id").alias("doc_id"),
+        F.col("question").alias("text"),
+        F.lit(lang).alias("lang"),
+    )
+    primaries = faq.where("is_primary").select(
+        F.col("ques_id").alias("doc_id")
+    )
+    syn_df = None
+    if parsed.synonyms:
+        syn_df = spark.createDataFrame(
+            [(k, v) for k, v in parsed.synonyms.items()],
+            "term string, synonyms array<string>",
+        )
+    altq = faq.where("NOT is_primary").select(
+        F.col("question").alias("alt_question"), "primary_id"
+    )
+    alt_with_primary = altq.join(
+        faq.where("is_primary").select(
+            F.col("ques_id").alias("primary_id"),
+            F.col("question").alias("primary_question"),
+        ),
+        "primary_id",
+    ).select("alt_question", "primary_question")
+
+    result = run_pipeline(
+        corpus,
+        lang=lang,
+        stop_words=sorted(parsed.stop_words),
+        primaries=primaries,
+        synonyms=syn_df,
+        altq=alt_with_primary,
+    )
+    export = build_export(result.ontology, faq)
+    if output_json_path:
+        write_export_json(export, parsed.synonyms, output_json_path)
+    return export, result
+
+
 def run_pipeline(
     corpus: DataFrame,
     lang: str = "en",

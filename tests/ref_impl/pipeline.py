@@ -203,6 +203,66 @@ def derive_triples(tag_term_map, synonyms=None, altq=None):
     return triples
 
 
+def create_response(question_map, altq_map, tag_term_map, answers=None,
+                    sub_answers=None, response_types=None, synonyms=None):
+    """Literal mirror of JSONGenerator.create_response
+    (/root/reference/response_type/JSONGenerator.py:26-72).
+    question_map: {qid: (raw, norm)}; altq_map: {primary_id: [alt_id..]}."""
+    answers = answers or {}
+    sub_answers = sub_answers or {}
+    response_types = response_types or {}
+    response = {"faqs": [], "synonyms": synonyms or {}}
+    for qid in altq_map:
+        result = {
+            "question": question_map[qid][0],
+            "alternateQuestions": [],
+            "terms": tag_term_map[qid]["terms"],
+            "tags": tag_term_map[qid]["tags"],
+            "refId": "",
+            "responseType": response_types.get(qid),
+            "answer": [],
+            "alternateAnswers": [],
+        }
+        for ans in answers.get(qid, []):
+            result["answer"].append(
+                {"text": ans.get("text", "test"), "type": ans.get("type"),
+                 "channel": ans.get("channel")}
+            )
+        for alt_id in altq_map.get(qid, []):
+            alt_tags = list(
+                set(tag_term_map[alt_id]["terms"]).difference(
+                    set(result["terms"])
+                )
+            )
+            result["alternateQuestions"].append(
+                {
+                    "question": question_map[alt_id][0],
+                    "tags": tag_term_map[alt_id]["tags"] + alt_tags,
+                    "terms": result["terms"],
+                }
+            )
+        for alt_answer in sub_answers.get(qid, []):
+            result["alternateAnswers"].append(
+                [
+                    {"text": a.get("text", "test"), "type": a.get("type"),
+                     "channel": a.get("channel")}
+                    for a in alt_answer
+                ]
+            )
+        if (result.get("responseType") or "message") == "dialog":
+            result["dialogRefId"] = ""
+        response["faqs"].append(result)
+    return response
+
+
+def run_reference_faq(question_map, altq_map, stop_tokens):
+    """FAQ flow: extract+link ALL questions, optimise primaries only.
+    question_map: {qid: (raw, norm)}; altq_map: {primary: [alts]}."""
+    ttm = generate_graph(question_map, stop_tokens)
+    ttm = optimise_graph(ttm, list(altq_map.keys()))
+    return ttm
+
+
 def run_reference_pipeline(raw_questions, stop_tokens, lang="en"):
     """Full sequential pipeline on raw question strings (ids 10001.. as in
     the reference parsers, /root/reference/request_type/CSVParser.py:40).
