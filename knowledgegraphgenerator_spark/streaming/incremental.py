@@ -1,0 +1,115 @@
+"""Incremental corpus processing (Structured Streaming, Trigger.AvailableNow).
+
+The reference is a batch CLI (SURVEY.md §2.12) and the north rule asks for
+batch-with-resume, which plans/runner.py provides. This module is the
+*incremental ingest* complement: new web-page files landing in a
+directory are normalized + feature-extracted exactly once, with Spark's
+checkpoint directory providing the processed-file ledger. The
+corpus-global stages (dictionary, linking, hierarchy) are then run in
+batch over the accumulated feature table — term statistics are global
+aggregates, so recomputing them per micro-batch would change history;
+splitting ingest (streaming, per-row, embarrassingly parallel) from
+global stages (batch, resumable) is the correct decomposition at 100 TB.
+
+``run_available_now`` drains everything currently in the source and
+stops — idempotent catch-up runs, cron-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WEB_PAGES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def incremental_normalize(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    stop_tokens: frozenset[str],
+) -> None:
+    """readStream(parquet dir) → normalize + extract features →
+    writeStream(parquet, AvailableNow). Exactly-once per input file via
+    the stream checkpoint; output is the features table consumed by the
+    batch dictionary/linking stages."""
+    from knowledgegraphgenerator_spark.functions.udfs import normalize_text_udf
+    from knowledgegraphgenerator_spark.operators.phrases import (
+        extract_doc_features,
+    )
+
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(source_dir)
+    )
+    normalized = stream.select(
+        "doc_id",
+        F.col("text").alias("question"),
+        "lang",
+        normalize_text_udf(F.col("text"), F.col("lang")).alias("norm_text"),
+    )
+    features = extract_doc_features(normalized, stop_tokens,
+                                    "doc_id", "norm_text")
+    q = (
+        features.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window counts — the streaming twin of
+    queries.q_hourly_event_counts; returns the started query writing to
+    an in-memory sink named 'event_counts'."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName("event_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,98 @@
+"""Dedup + similarity operator tests (small, deterministic inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgegraphgenerator_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark pipelines here"),
+        (5, "another unrelated document mentioning parquet files only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3, 4, 5}
+
+
+def test_shingles_and_jaccard(docs):
+    sh = dedup.token_shingles(docs, "text", "doc_id", n=3)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).crossJoin(
+        docs.select(F.col("doc_id").alias("id_b"))
+    ).where("id_a < id_b")
+    verified = dedup.verify_jaccard(pairs, sh, "doc_id", 8, 10)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in got  # identical
+    assert (4, 5) not in got
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    sh = dedup.token_shingles(docs, "text", "doc_id", n=3)
+    sigs = dedup.minhash_signatures(sh, "doc_id", k=8)
+    assert sigs.count() == 5 * 8
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", rows_per_band=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide in every band
+
+
+def test_near_dedup_end_to_end(docs):
+    kept = dedup.near_dedup(docs, "text", "doc_id", shingle_n=3, k=8,
+                            threshold_num=9, threshold_den=10)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 not in ids  # exact dup dropped, min id kept
+    assert {4, 5} <= ids
+
+
+def test_simhash_identical_docs_equal_hash(docs):
+    out = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash64(docs, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    # near-dup hamming distance small, unrelated pair larger
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[1], out[3]) <= ham(out[1], out[4])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+    rows = []
+    for i in range(24):
+        angle = (i % 8) / 8.0 * math.pi
+        vec = [math.cos(angle), math.sin(angle), float(i % 3), 1.0]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_self_similarity(vectors):
+    queries = vectors.where("vec_id < 3")
+    out = similarity.brute_force_topk(vectors, queries, k=3)
+    rows = out.collect()
+    assert len(rows) == 9
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # rank-1 neighbor of q0 shares its direction (i % 8 == 0, i % 3 pattern)
+    top = sorted(by_q[0], key=lambda r: r["rnk"])[0]
+    assert top["sim"] > 0.9
+
+
+def test_ivf_topk_recall_vs_brute_force(vectors):
+    queries = vectors.where("vec_id < 3")
+    exact = similarity.brute_force_topk(vectors, queries, k=3)
+    approx = similarity.ivf_topk(vectors, queries, k=3, n_cells=4, n_probe=4)
+    # with n_probe == n_cells the IVF search is exhaustive -> same result
+    e = {(r["query_id"], r["rnk"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["rnk"], r["neighbor_id"]) for r in approx.collect()}
+    assert e == a
