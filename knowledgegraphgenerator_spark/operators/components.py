@@ -62,7 +62,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _checksum(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        # pmod keeps the per-row term < 2^31 so the ANSI-mode sum
+        # cannot overflow (n * 2^31 << 2^63)
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2147483647))),
+            F.lit(0),
+        ).alias("h"),
     ).first()
     return row["n"], row["h"]
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MINHASH_P = (1 << 61) - 1  # Mersenne prime; ids from xxhash64 folded in
+MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h+b stays < 2^63 (ANSI)
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

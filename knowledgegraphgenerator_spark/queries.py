@@ -701,6 +701,71 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF term scoring (north_star: 'TF-IDF/RAKE term scoring per
+    partition') — top-5 terms per doc by tf·ln(N/df)."""
+    toks = _tokens(spark, sf_dir)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tf", "df",
+                F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword scoring (public Rose et al. 2010 algorithm):
+    stopword-delimited chunks; word score = degree/freq within the doc;
+    phrase score = sum of word scores. Top-3 phrases per doc."""
+    toks = _tokens(spark, sf_dir).withColumn(
+        "is_stop", F.col("term").isin(*DOC_STOPWORDS).cast("int")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    with_chunk = toks.withColumn("chunk_id", F.sum("is_stop").over(w_doc))
+    words = with_chunk.where("is_stop = 0")
+    chunk_len = words.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("clen")
+    )
+    occ = words.join(chunk_len, ["doc_id", "chunk_id"])
+    word_scores = occ.groupBy("doc_id", "term").agg(
+        (F.sum("clen") / F.count(F.lit(1))).alias("wscore")
+    )
+    phrases_df = (
+        words.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(sort_array(collect_list("
+                "struct(pos, term))), x -> x.term))"
+            ).alias("phrase")
+        )
+    )
+    phrase_scores = (
+        words.join(word_scores, ["doc_id", "term"])
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum("wscore").alias("score"))
+        .join(phrases_df, ["doc_id", "chunk_id"])
+        .select("doc_id", "phrase", "score")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        phrase_scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "phrase", F.round("score", 4).alias("score"))
+    )
+
+
 def q_kg_triples(spark, sf_dir):
     """Flagship: full KG construction over the documents table
     (rows-only driver check; golden-tested in tests/test_pipeline_golden)."""
@@ -743,6 +808,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "rake_keywords": q_rake_keywords,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
@@ -910,6 +977,46 @@ ORACLES: dict[str, str] = {
         f"{FP_MOD} * 31 + t2) % {FP_MOD} * 31 + t3) % {FP_MOD})"
         " AS BIGINT) AS n_shingles "
         "FROM grams WHERE t3 IS NOT NULL GROUP BY doc_id"
+    ),
+    "tfidf_top_terms": (
+        f"WITH toks AS ({_TOKENS_SQL}), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+        " FROM toks GROUP BY doc_id, term), "
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf"
+        " GROUP BY term), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents), "
+        "scored AS (SELECT doc_id, term, tf, df,"
+        " tf * ln(nd / df) AS tfidf FROM tf JOIN dfq USING (term), n), "
+        "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk FROM scored) "
+        "SELECT doc_id, rnk, term, tf, df, round(tfidf, 4) AS tfidf"
+        " FROM ranked WHERE rnk <= 5"
+    ),
+    "rake_keywords": (
+        f"WITH toks AS (SELECT *, CASE WHEN term IN {DOC_STOPWORDS!r}"
+        f" THEN 1 ELSE 0 END AS is_stop FROM ({_TOKENS_SQL})), "
+        "wc AS (SELECT *, sum(is_stop) OVER (PARTITION BY doc_id"
+        " ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS chunk_id FROM toks), "
+        "words AS (SELECT * FROM wc WHERE is_stop = 0), "
+        "clens AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT)"
+        " AS clen FROM words GROUP BY doc_id, chunk_id), "
+        "occ AS (SELECT w.doc_id, w.chunk_id, w.term, w.pos, clen"
+        " FROM words w JOIN clens USING (doc_id, chunk_id)), "
+        "ws AS (SELECT doc_id, term,"
+        " CAST(sum(clen) AS DOUBLE) / count(*) AS wscore FROM occ"
+        " GROUP BY doc_id, term), "
+        "phr AS (SELECT doc_id, chunk_id,"
+        " string_agg(term, ' ' ORDER BY pos) AS phrase FROM words"
+        " GROUP BY doc_id, chunk_id), "
+        "ps AS (SELECT DISTINCT w.doc_id, phrase, score FROM "
+        "(SELECT doc_id, chunk_id, sum(wscore) AS score FROM words"
+        " JOIN ws USING (doc_id, term) GROUP BY doc_id, chunk_id) w "
+        "JOIN phr ON w.doc_id = phr.doc_id AND w.chunk_id = phr.chunk_id), "
+        "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY score DESC, phrase ASC) AS BIGINT) AS rnk FROM ps) "
+        "SELECT doc_id, rnk, phrase, round(score, 4) AS score FROM ranked"
+        " WHERE rnk <= 3"
     ),
     "pricing_summary": (
         "WITH prepared AS (SELECT l_returnflag, l_linestatus, "
