@@ -1,0 +1,121 @@
+"""CLI — reference command-line parity (KnowledgeGraphGenerator.py:67-93)
+plus the web-corpus subcommand.
+
+  python -m knowledgegraphgenerator_spark faq \\
+      --file_path faqs.json --type json_export [--language en] \\
+      [--synonyms_file_path generated_synonyms.csv] \\
+      [--output_file_path ao_output.json]
+
+  python -m knowledgegraphgenerator_spark corpus \\
+      --input /path/web_pages_parquet --output /path/kg_out \\
+      [--language en] [--resume-root /path/stages]
+
+  python -m knowledgegraphgenerator_spark analyze \\
+      --file_path ao_output.json [--language en]
+
+For cluster runs: zip the package (scripts/package.sh) and
+``spark-submit --py-files kg_spark.zip run_kg.py ...`` — the module only
+uses SparkSession.builder, no local-mode assumptions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="knowledgegraphgenerator_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    faq = sub.add_parser("faq", help="FAQ input → ao_output.json + triples")
+    faq.add_argument("--file_path", required=True)
+    faq.add_argument("--type", dest="request_type", required=True,
+                     choices=["csv", "json_export", "csv_export"])
+    faq.add_argument("--language", default="en")
+    faq.add_argument("--synonyms_file_path", default=None)
+    # reference hard-codes 'ao_output.json' (KnowledgeGraphGenerator.py:85)
+    faq.add_argument("--output_file_path", default="ao_output.json")
+    faq.add_argument("--triples_path", default=None)
+
+    corpus = sub.add_parser("corpus", help="web_pages parquet → KG tables")
+    corpus.add_argument("--input", required=True)
+    corpus.add_argument("--output", required=True)
+    corpus.add_argument("--language", default="en")
+    corpus.add_argument("--resume-root", default=None)
+
+    an = sub.add_parser("analyze", help="diagnostics over an export JSON")
+    an.add_argument("--file_path", required=True)
+    an.add_argument("--language", default="en")
+    an.add_argument("--report_path", default="analyzer_report.csv")
+
+    args = ap.parse_args(argv)
+
+    from knowledgegraphgenerator_spark.session import get_spark
+
+    spark = get_spark(app_name=f"kg-{args.cmd}")
+    try:
+        if args.cmd == "faq":
+            from knowledgegraphgenerator_spark.pipeline import run_faq_pipeline
+
+            _, result = run_faq_pipeline(
+                spark, args.file_path, args.request_type, args.language,
+                synonyms_csv_path=args.synonyms_file_path,
+                output_json_path=args.output_file_path,
+            )
+            if args.triples_path:
+                from knowledgegraphgenerator_spark.operators.triples import (
+                    write_triples,
+                )
+
+                write_triples(result.triples, args.triples_path)
+            # post-hoc diagnostics, as the reference does in-process
+            # (KnowledgeGraphGenerator.py:54-61)
+            from knowledgegraphgenerator_spark.operators.analyzer import (
+                run_diagnostics,
+            )
+
+            with open(args.output_file_path) as f:
+                export = json.load(f)
+            run_diagnostics(spark, export, args.language,
+                            report_csv_path="analyzer_report.csv")
+        elif args.cmd == "corpus":
+            df = spark.read.parquet(args.input)
+            if args.resume_root:
+                from knowledgegraphgenerator_spark.plans.runner import (
+                    run_resumable_pipeline,
+                )
+
+                triples = run_resumable_pipeline(
+                    spark, df, args.resume_root, args.language
+                )
+            else:
+                from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+                triples = run_pipeline(df, lang=args.language).triples
+            from knowledgegraphgenerator_spark.operators.triples import (
+                write_triples,
+            )
+
+            write_triples(triples, args.output)
+        else:
+            from knowledgegraphgenerator_spark.operators.analyzer import (
+                run_diagnostics,
+            )
+
+            with open(args.file_path) as f:
+                export = json.load(f)
+            resp = run_diagnostics(spark, export, args.language,
+                                   report_csv_path=args.report_path)
+            print(json.dumps(
+                {k: resp[k] for k in
+                 ("no_of_errors", "no_of_suggestions", "total_no_of_issues")}
+            ))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

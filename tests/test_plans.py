@@ -1,0 +1,80 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, codegen.
+
+Plans are part of the product at 100 TB — these tests pin the plan
+properties that keep the scale story true (a regression that silently
+reads all columns or shuffles a broadcastable dim would pass value
+tests and still be wrong)."""
+
+from __future__ import annotations
+
+import pytest
+
+from knowledgegraphgenerator_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    plan = _explain(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_documents_scan(spark):
+    df = QUERIES["term_count_threshold"](spark, SF)
+    plan = _explain(df)
+    # only doc_id+text may be read; n_chars/source/lang must be pruned
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema
+    assert "n_chars" not in read_schema and "source" not in read_schema
+
+
+def test_broadcast_join_for_dims(spark):
+    plan = _explain(QUERIES["region_supplier_counts"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_strategy(spark):
+    plan = _explain(QUERIES["cust_no_orders"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_wholestage_codegen_in_agg_path(spark):
+    import contextlib
+    import io
+
+    df = QUERIES["quality_score"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+    plan = _explain(df)
+    # pure-SQL query: no Python evaluation anywhere in the plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_aggregation_before_exchange(spark):
+    plan = _explain(QUERIES["term_count_threshold"](spark, SF))
+    # map-side partial agg (the reason groupBy-count needs no salting):
+    # two HashAggregate nodes around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+@pytest.mark.parametrize("name", ["minhash_signatures", "simhash16",
+                                  "winnow_fingerprint"])
+def test_hash_sketches_are_jvm_only(spark, name):
+    plan = _explain(QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
