@@ -39,8 +39,10 @@ def main() -> None:
     corpus = spark.read.parquet(args.corpus)
     n_docs = corpus.count()
 
-    # warmup on a slice: spin up python workers, compile codegen
-    warm = corpus.limit(2000)
+    # warmup: a sampled slice REPARTITIONED to the worker count so every
+    # python worker + codegen path is hot before the timed run (limit()
+    # would collapse to one partition and warm one worker)
+    warm = corpus.sample(0.02, seed=1).repartition(args.cpus)
     run_pipeline(warm, text_col="text", id_col="doc_id").triples.count()
 
     t0 = time.perf_counter()

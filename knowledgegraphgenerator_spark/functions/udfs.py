@@ -37,8 +37,22 @@ def _normalize_series(text: pd.Series, lang: pd.Series) -> pd.Series:
     if en.any():
         repl = lambda m: textnorm.CONTRACTIONS[m.group(0).lower()]  # noqa: E731
         e = out[en]
-        e = e.str.replace(textnorm._CONTRACTIONS_RE, repl, regex=True)
-        e = e.str.replace(textnorm._CONTRACTIONS_RE, repl, regex=True)
+        # every contraction key contains an apostrophe, so the expansion
+        # pass is a provable no-op on apostrophe-free strings — skip the
+        # expensive 100-way alternation for those rows (most of a web
+        # corpus), and run the second pass only where one survives
+        has_apo = e.str.contains("'", regex=False)
+        if has_apo.any():
+            x = e[has_apo].str.replace(
+                textnorm._CONTRACTIONS_RE, repl, regex=True
+            )
+            still = x.str.contains("'", regex=False)
+            if still.any():
+                x[still] = x[still].str.replace(
+                    textnorm._CONTRACTIONS_RE, repl, regex=True
+                )
+            e = e.copy()
+            e[has_apo] = x
         e = e.str.replace(textnorm._NON_WORD_RE, " ", regex=True)
         out = out.copy()
         out[en] = e

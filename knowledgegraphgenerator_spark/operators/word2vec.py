@@ -98,10 +98,12 @@ def topk_synonyms_exact(
     """Exact DataFrame variant: model vectors table × vocab vectors →
     cosine → row_number per word (the distributed path when |vocab| is
     large; findSynonyms loops the driver)."""
-    vectors = model.getVectors()  # (word, vector)
+    from pyspark.ml.functions import vector_to_array
+
+    vectors = model.getVectors()  # (word, vector UDT)
     e = vectors.select(
-        "word", F.posexplode(F.expr("cast(vector as array<double>)"))
-        .alias("pos", "v"),
+        "word",
+        F.posexplode(vector_to_array("vector")).alias("pos", "v"),
     )
     norms = e.groupBy("word").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")

@@ -69,20 +69,28 @@ def synthetic_web_pages(
     seed: int = 42,
     lang: str = "en",
     n_partitions: int | None = None,
+    sentences_per_doc: int = 1,
 ) -> DataFrame:
     base = spark.range(0, n_docs, 1, n_partitions or spark.sparkContext.defaultParallelism)
-    # splitmix-style mixes; all mod-arithmetic on non-negative longs
-    h = f"(id * 2654435761 + {seed * 97 + 13})"
-    df = (
-        base.withColumn("np1", _pick(NOUN_PHRASES, f"pmod({h}, 1000000007)"))
-        .withColumn("np2", _pick(NOUN_PHRASES, f"pmod({h} * 31 + 7, 999999937)"))
-        .withColumn("v", _pick(VERBS, f"pmod({h} * 17 + 3, 982451653)"))
-        .withColumn("tmpl_idx", F.expr(f"pmod({h} * 13 + 11, {len(TEMPLATES)})").cast("int"))
-    )
-    text = F.lit(None).cast("string")
-    for i, tmpl in enumerate(TEMPLATES):
-        text = F.when(F.col("tmpl_idx") == i, _fill_template(tmpl)).otherwise(text)
-    df = df.withColumn("text", text)
+    sentence_cols = []
+    for s in range(sentences_per_doc):
+        # splitmix-style mixes; all mod-arithmetic on non-negative longs;
+        # each sentence slot gets an independent stream
+        h = f"(id * 2654435761 + {seed * 97 + 13 + s * 7919})"
+        base = (
+            base.withColumn(f"np1_{s}", _pick(NOUN_PHRASES, f"pmod({h}, 1000000007)"))
+            .withColumn(f"np2_{s}", _pick(NOUN_PHRASES, f"pmod({h} * 31 + 7, 999999937)"))
+            .withColumn(f"v_{s}", _pick(VERBS, f"pmod({h} * 17 + 3, 982451653)"))
+            .withColumn(f"tmpl_idx_{s}",
+                        F.expr(f"pmod({h} * 13 + 11, {len(TEMPLATES)})").cast("int"))
+        )
+        text = F.lit(None).cast("string")
+        for i, tmpl in enumerate(TEMPLATES):
+            text = F.when(
+                F.col(f"tmpl_idx_{s}") == i, _fill_template(tmpl, s)
+            ).otherwise(text)
+        sentence_cols.append(text)
+    df = base.withColumn("text", F.concat_ws(" ", *sentence_cols))
     return df.select(
         F.concat(F.lit(f"https://fixture.test/{lang}/"), F.col("id")).alias("url"),
         (F.lit("2026-01-01 00:00:00").cast("timestamp")
@@ -97,7 +105,7 @@ def synthetic_web_pages(
     )
 
 
-def _fill_template(tmpl: str) -> F.Column:
+def _fill_template(tmpl: str, s: int = 0) -> F.Column:
     """Template string -> concat Column substituting {v}/{np1}/{np2}."""
     import re as _re
 
@@ -106,7 +114,7 @@ def _fill_template(tmpl: str) -> F.Column:
     for m in _re.finditer(r"\{(v|np1|np2)\}", tmpl):
         if m.start() > pos:
             pieces.append(F.lit(tmpl[pos:m.start()]))
-        pieces.append(F.col(m.group(1)))
+        pieces.append(F.col(f"{m.group(1)}_{s}"))
         pos = m.end()
     if pos < len(tmpl):
         pieces.append(F.lit(tmpl[pos:]))
