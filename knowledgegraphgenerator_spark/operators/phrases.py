@@ -154,15 +154,33 @@ def collect_ranked_dictionary(
     term's sort key.
     """
 
-    def ranked(df: DataFrame) -> list[tuple[str, int]]:
-        rows = df.orderBy(
-            F.desc("cnt"), F.asc("first_seen.doc_id"), F.asc("first_seen.pos")
-        ).collect()
-        return [(r["term"], r["cnt"]) for r in rows]
+    # ONE collect job for all three sections (three separate orderBy
+    # collects tripled the latency-bound small-stage overhead); the
+    # most_common sort runs on the driver over the already-aggregated
+    # dictionary (vocabulary-bounded, ≪ corpus).
+    unioned = None
+    for kind, df in frames.items():
+        part = df.select(
+            F.lit(kind).alias("kind"), "term", "cnt",
+            F.col("first_seen.doc_id").alias("fs_doc"),
+            F.col("first_seen.pos").alias("fs_pos"),
+        )
+        unioned = part if unioned is None else unioned.unionByName(part)
+    by_kind: dict[str, list[tuple[str, int, int, int]]] = {
+        "phrases": [], "unigrams": [], "verbs": []
+    }
+    for r in unioned.collect():
+        by_kind[r["kind"]].append(
+            (r["term"], r["cnt"], r["fs_doc"], r["fs_pos"])
+        )
+
+    def ranked(rows: list[tuple[str, int, int, int]]) -> list[tuple[str, int]]:
+        rows.sort(key=lambda x: (-x[1], x[2], x[3]))
+        return [(t, c) for t, c, _, _ in rows]
 
     return RankedDictionary(
-        phrases=ranked(frames["phrases"]),
-        unigrams=ranked(frames["unigrams"]),
-        verbs=ranked(frames["verbs"]),
+        phrases=ranked(by_kind["phrases"]),
+        unigrams=ranked(by_kind["unigrams"]),
+        verbs=ranked(by_kind["verbs"]),
         stop_tokens=stop_tokens,
     )
