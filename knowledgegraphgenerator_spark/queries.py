@@ -766,6 +766,21 @@ def q_rake_keywords(spark, sf_dir):
     )
 
 
+def q_term_cooccurrence(spark, sf_dir):
+    """Co-occurrence aggregation for hierarchy statistics (north_star:
+    subsumption/co-occurrence aggregation; skew notes in
+    operators/skew.py:cooccurrence_counts)."""
+    from knowledgegraphgenerator_spark.operators.skew import (
+        cooccurrence_counts,
+    )
+
+    toks = _tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    dict_terms = toks.join(_unigram_dict(spark, sf_dir), "term", "semi")
+    return cooccurrence_counts(dict_terms, min_count=5).select(
+        "ta", "tb", "cnt"
+    )
+
+
 def q_kg_triples(spark, sf_dir):
     """Flagship: full KG construction over the documents table
     (rows-only driver check; golden-tested in tests/test_pipeline_golden)."""
@@ -810,6 +825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rake_keywords": q_rake_keywords,
+    "term_cooccurrence": q_term_cooccurrence,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
@@ -977,6 +993,15 @@ ORACLES: dict[str, str] = {
         f"{FP_MOD} * 31 + t2) % {FP_MOD} * 31 + t3) % {FP_MOD})"
         " AS BIGINT) AS n_shingles "
         "FROM grams WHERE t3 IS NOT NULL GROUP BY doc_id"
+    ),
+    "term_cooccurrence": (
+        f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL})), "
+        f"u AS ({_UNIGRAM_SQL}), "
+        "dt AS (SELECT doc_id, term FROM toks WHERE term IN"
+        " (SELECT term FROM u)) "
+        "SELECT a.term AS ta, b.term AS tb, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term "
+        "GROUP BY a.term, b.term HAVING count(*) >= 5"
     ),
     "tfidf_top_terms": (
         f"WITH toks AS ({_TOKENS_SQL}), "
