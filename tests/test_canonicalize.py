@@ -1,0 +1,50 @@
+"""Surface-form canonicalization: LSH blocking + CC clustering."""
+
+from __future__ import annotations
+
+from knowledgegraphgenerator_spark.operators.canonicalize import (
+    canonicalize_surface_forms,
+    char_shingles,
+)
+
+
+def test_char_shingles(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("ab",)], "term string").withColumn(
+        "term_id", F.lit(1).cast("long")
+    )
+    got = sorted(r["shingle"] for r in char_shingles(df, "term").collect())
+    # padded " ab " -> ' ab', 'ab '
+    assert got == [" ab", "ab "]
+
+
+def test_variants_merge_to_most_frequent(spark):
+    rows = [
+        ("neft service", 50),
+        ("neft services", 8),
+        ("the neft service", 3),
+        ("credit card", 40),
+        ("credit cards", 5),
+        ("exchange rate", 20),  # unrelated, stays itself
+    ]
+    terms = spark.createDataFrame(rows, "term string, cnt long")
+    mapping = {
+        r["term"]: r["canonical_term"]
+        for r in canonicalize_surface_forms(terms).collect()
+    }
+    assert mapping["neft service"] == "neft service"
+    assert mapping["neft services"] == "neft service"
+    assert mapping["the neft service"] == "neft service"
+    assert mapping["credit cards"] == "credit card"
+    assert mapping["exchange rate"] == "exchange rate"
+
+
+def test_identity_without_duplicates(spark):
+    rows = [("alpha", 1), ("bravo", 1), ("charlie", 1)]
+    terms = spark.createDataFrame(rows, "term string, cnt long")
+    mapping = {
+        r["term"]: r["canonical_term"]
+        for r in canonicalize_surface_forms(terms).collect()
+    }
+    assert mapping == {t: t for t, _ in rows}
