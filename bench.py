@@ -35,6 +35,11 @@ HEADLINE = [
     "simhash16",
     "embedding_topk",
     "winnow_fingerprint",
+    "tfidf_top_terms",
+    "rake_keywords",
+    "term_cooccurrence",
+    "lang_id_heuristic",
+    "dedup_exact",
     "quality_score",
     "pricing_summary",
     "top_orders_per_cust",
