@@ -126,6 +126,51 @@ def train_centroids(
     return centroids
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    Blocked through the IVF cells so the pair space is per-cell, not
+    global: vectors land in their nearest cell(s) (n_probe > 1 catches
+    boundary pairs), pairs form within a cell only. Exact for pairs whose
+    members share a probed cell — the standard recall/cost dial.
+    """
+    centroids = train_centroids(vectors, id_col, vec_col, n_cells).cache()
+    e = _exploded(vectors, id_col, vec_col)
+    cells = _assign_cells(e, centroids, n_probe=n_probe)
+    a = cells.withColumnRenamed("vid", "id_a")
+    b = cells.withColumnRenamed("vid", "id_b")
+    cand = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vid").alias("id_a"), "pos", F.col("v").alias("va"))
+    eb = e.select(F.col("vid").alias("id_b"), "pos", F.col("v").alias("vb"))
+    dots = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "pos"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    norms = _norms(e)
+    na = norms.select(F.col("vid").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vid").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .withColumn("sim", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -766,6 +766,24 @@ def q_rake_keywords(spark, sf_dir):
     )
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    """Token counting, BPE-ish: words vs punctuation-split subtokens.
+
+    ``\\w+`` word tokens and single non-space-non-word marks — the
+    pre-tokenization regex shape BPE tokenizers use (GPT-2-style
+    pretokenizer simplified to its ASCII core; counts only, no merges).
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)"))
+        .cast("long").alias("word_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
+        .cast("long").alias("punct_tokens"),
+    )
+
+
 def q_term_cooccurrence(spark, sf_dir):
     """Co-occurrence aggregation for hierarchy statistics (north_star:
     subsumption/co-occurrence aggregation; skew notes in
@@ -826,6 +844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "rake_keywords": q_rake_keywords,
     "term_cooccurrence": q_term_cooccurrence,
+    "token_stats_bpe": q_token_stats_bpe,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
@@ -993,6 +1012,14 @@ ORACLES: dict[str, str] = {
         f"{FP_MOD} * 31 + t2) % {FP_MOD} * 31 + t3) % {FP_MOD})"
         " AS BIGINT) AS n_shingles "
         "FROM grams WHERE t3 IS NOT NULL GROUP BY doc_id"
+    ),
+    "token_stats_bpe": (
+        "SELECT doc_id, "
+        "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '\\w+')) AS BIGINT)"
+        " AS word_tokens, "
+        "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)"
+        " AS punct_tokens FROM documents"
     ),
     "term_cooccurrence": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL})), "

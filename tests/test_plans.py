@@ -78,3 +78,25 @@ def test_partial_aggregation_before_exchange(spark):
 def test_hash_sketches_are_jvm_only(spark, name):
     plan = _explain(QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triple_sink_partition_pruning(spark, tmp_path):
+    """Subject-hash bucketed layout: reading one bucket must prune the
+    others at the scan (the point of bucketing by pmod(xxhash64(subj)))."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.triples import write_triples
+
+    triples = spark.createDataFrame(
+        [(f"subj{i}", "has_term", f"obj{i}") for i in range(200)],
+        "subj string, pred string, obj string",
+    )
+    path = str(tmp_path / "triples")
+    write_triples(triples, path, n_buckets=8)
+    read = spark.read.parquet(path).where(F.col("subj_bucket") == 3)
+    plan = _explain(read)
+    assert "PartitionFilters" in plan
+    assert "subj_bucket" in plan.split("PartitionFilters")[1].splitlines()[0]
+    full = spark.read.parquet(path)
+    assert read.count() < full.count()
+    assert full.count() == 200
