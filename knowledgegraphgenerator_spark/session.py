@@ -47,6 +47,11 @@ def get_spark(
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4.1 ChecksumCheckpointFileManager deadlocks under the
+        # HDFS-backed state store on local FS (await inside task commit);
+        # plain checkpoint files are sufficient here.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

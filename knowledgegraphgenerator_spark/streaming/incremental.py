@@ -77,6 +77,104 @@ def incremental_normalize(
     q.awaitTermination()
 
 
+def stateful_sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (per-key user state). Emits a row per
+    CLOSED session (idle gap > ``gap_seconds`` observed in-stream); the
+    trailing open session stays in the state store and closes on a later
+    run — exactly the semantics an AvailableNow catch-up job wants, with
+    the checkpoint carrying state across runs. (ProcessingTimeTimeout is
+    deliberately not used: under Trigger.AvailableNow it keeps the query
+    servicing timeout batches instead of terminating.)
+
+    This is the streaming twin of queries.q_sessionize — the batch SQL
+    and the stateful operator implement the same session semantics.
+    Returns the started query (memory sink 'sessions', update mode).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        epochs: list[int] = []
+        for pdf in pdfs:
+            epochs.extend(
+                int(t.timestamp()) for t in pdf["ts"] if t is not None
+            )
+        closed: list[tuple[int, int, int, int]] = []
+        epochs.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        for e in epochs:
+            if start is None:
+                start, last, n = e, e, 1
+            elif e - last > gap_seconds:
+                closed.append((user_id, start, last, n))
+                start, last, n = e, e, 1
+            else:
+                last, n = e, n + 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts_stream(
     spark: SparkSession,
     source_dir: str,
