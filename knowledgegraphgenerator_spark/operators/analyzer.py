@@ -81,6 +81,25 @@ def _ngrams(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def is_subpath(path: list, longer: list) -> bool:
+    """G4 sliding-window subsequence test (ontology_analyzer.py:219-224)."""
+    for i in range(1 + len(longer) - len(path)):
+        if path == longer[i:i + len(path)]:
+            return True
+    return False
+
+
+def path_is_not_subset(path: list, matches: list[list]) -> bool:
+    """G4: reject paths that are sub- or super-paths of any match
+    (ontology_analyzer.py:226-231)."""
+    for matched in matches:
+        if len(matched) > len(path) and is_subpath(path, matched):
+            return False
+        if len(matched) < len(path) and is_subpath(matched, path):
+            return False
+    return True
+
+
 def valid_root(faqs: list[dict]) -> tuple[str, bool]:
     roots = {f["terms"][-1] for f in faqs if f["terms"]}
     if len(roots) == 1:

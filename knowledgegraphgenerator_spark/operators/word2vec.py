@@ -134,6 +134,46 @@ def topk_synonyms_exact(
     )
 
 
+def synonym_generation_master(
+    spark,
+    export: dict,
+    output_csv_path: str,
+    max_iter: int = 10,
+) -> list[tuple[str, str, float]]:
+    """Reference entry point 3 (synonym_generator.py:43-53) over the KG
+    answers backend: vocabulary = dedup'd terms ∪ tags of the export
+    (synonym_generator.py:25-41, preprocessed per P13), corpus = first
+    answer text per distinct answer minus ``{{`` templates, Word2Vec
+    trained, top-3 per vocab word, CSV written in the S10 feed-back
+    format."""
+    import pyspark.sql.functions as F
+
+    vocab: list[str] = []
+    seen = set()
+    answers = []
+    for i, faq in enumerate(export.get("faqs", [])):
+        for raw in list(faq.get("terms", [])) + list(faq.get("tags", [])):
+            base = raw.split(":")[0]
+            base = base[2:] if base.startswith(("**", "!!")) else base
+            surface = base.split("/")[0]
+            if surface and surface not in seen:
+                seen.add(surface)
+                vocab.append(surface)
+        for ans in faq.get("answer", []):
+            text = ans.get("text") or ""
+            answers.append((i, text))
+    corpus = spark.createDataFrame(
+        answers or [(0, "")], "faq_idx long, text string"
+    )
+    corpus = dedup_answers(corpus, "text", "faq_idx").where(
+        F.length("text") > 0
+    )
+    model = train_synonym_model(corpus, max_iter=max_iter)
+    rows = topk_synonyms(model, vocab, W2V_TOP_N)
+    write_synonyms_csv(rows, output_csv_path)
+    return rows
+
+
 def write_synonyms_csv(rows: list[tuple[str, str, float]], path: str) -> None:
     """``term,"a/b/c"`` format consumed back by S10
     (JSONExportParser.py:88-96)."""

@@ -126,3 +126,12 @@ def test_coverage_threshold_boundary(spark):
     assert qs == {"totally different words here"}
     pct = {r["question"]: r["coverage_pct"] for r in rows}
     assert pct["totally different words here"] == 0
+
+
+def test_subpath_utilities():
+    assert analyzer.is_subpath([2, 3], [1, 2, 3, 4])
+    assert not analyzer.is_subpath([3, 2], [1, 2, 3, 4])
+    assert analyzer.is_subpath([1], [1])
+    assert analyzer.path_is_not_subset([1, 2], [[3, 4, 5]])
+    assert not analyzer.path_is_not_subset([1, 2], [[1, 2, 3]])
+    assert not analyzer.path_is_not_subset([1, 2, 3], [[2, 3]])

@@ -68,3 +68,41 @@ def test_write_synonyms_csv_roundtrip(tmp_path):
 
     merged = merge_generated_synonyms({}, path)
     assert merged == {"neft": ["rtgs", "imps"], "card": ["debit"]}
+
+
+def test_synonym_generation_master_end_to_end(spark, tmp_path):
+    export = {
+        "faqs": [
+            {
+                "question": "q1",
+                "terms": ["neft service/nst", "**account:trait", "Auto Ontology"],
+                "tags": ["transfer"],
+                "answer": [
+                    {"text": "transfer money with the neft service to any"
+                             " bank account today"},
+                ],
+            },
+            {
+                "question": "q2",
+                "terms": ["account balance", "Auto Ontology"],
+                "tags": [],
+                "answer": [
+                    {"text": "check your account balance using the mobile"
+                             " app now"},
+                    {"text": "{{template}}"},
+                ],
+            },
+        ]
+    }
+    path = str(tmp_path / "generated_synonyms.csv")
+    rows = w2v.synonym_generation_master(spark, export, path, max_iter=3)
+    assert rows, "expected synonyms for vocab words present in answers"
+    words = {w for w, _, _ in rows}
+    assert "account" in words  # P13-preprocessed '**account:trait'
+    # S10 feed-back round trip
+    from knowledgegraphgenerator_spark.sources.faq import (
+        merge_generated_synonyms,
+    )
+
+    merged = merge_generated_synonyms({}, path)
+    assert set(merged) == words
