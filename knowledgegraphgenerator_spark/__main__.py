@@ -25,7 +25,7 @@ import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
     ap = argparse.ArgumentParser(prog="knowledgegraphgenerator_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -50,11 +50,24 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--language", default="en")
     an.add_argument("--report_path", default="analyzer_report.csv")
 
+    syn = sub.add_parser(
+        "synonyms",
+        help="mine synonyms from KG answers (reference entry point 3, "
+             "synonym_generator.py:55-72)",
+    )
+    syn.add_argument("--file_path", required=True)
+    syn.add_argument("--output_path", default="generated_synonyms.csv")
+
+    for p in (faq, corpus, an, syn):
+        p.add_argument("--v", action="store_true", help="verbose")
+
     args = ap.parse_args(argv)
 
-    from knowledgegraphgenerator_spark.session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        from knowledgegraphgenerator_spark.session import get_spark
 
-    spark = get_spark(app_name=f"kg-{args.cmd}")
+        spark = get_spark(app_name=f"kg-{args.cmd}")
     try:
         if args.cmd == "faq":
             from knowledgegraphgenerator_spark.pipeline import run_faq_pipeline
@@ -99,6 +112,16 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             write_triples(triples, args.output)
+        elif args.cmd == "synonyms":
+            from knowledgegraphgenerator_spark.operators.word2vec import (
+                synonym_generation_master,
+            )
+
+            with open(args.file_path) as f:
+                export = json.load(f)
+            rows = synonym_generation_master(spark, export, args.output_path)
+            if args.v:
+                print(f"{len(rows)} synonym rows -> {args.output_path}")
         else:
             from knowledgegraphgenerator_spark.operators.analyzer import (
                 run_diagnostics,
@@ -113,7 +136,8 @@ def main(argv: list[str] | None = None) -> int:
                  ("no_of_errors", "no_of_suggestions", "total_no_of_issues")}
             ))
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

@@ -1,0 +1,83 @@
+"""End-to-end CLI workflow — the reference's three executables chained
+(generate → synonyms → feed-back → analyze), SURVEY.md §3."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from knowledgegraphgenerator_spark.__main__ import main
+
+FILES = os.path.join(os.path.dirname(__file__), "fixtures", "files")
+
+
+def test_cli_full_workflow(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    out_json = str(tmp_path / "ao_output.json")
+
+    # 1. generate from CSV FAQ input (entry point 1)
+    rc = main(
+        ["faq", "--file_path", f"{FILES}/faq.csv", "--type", "csv",
+         "--output_file_path", out_json], spark=spark,
+    )
+    assert rc == 0
+    with open(out_json) as f:
+        export = json.load(f)
+    assert export["faqs"] and all("terms" in x for x in export["faqs"])
+    assert os.path.exists(tmp_path / "analyzer_report.csv")
+
+    # 2. synonym mining over the generated export (entry point 3)
+    syn_csv = str(tmp_path / "generated_synonyms.csv")
+    rc = main(
+        ["synonyms", "--file_path", out_json, "--output_path", syn_csv],
+        spark=spark,
+    )
+    assert rc == 0 and os.path.exists(syn_csv)
+
+    # 3. regenerate from json_export WITH the generated synonyms (S10)
+    out2 = str(tmp_path / "ao_output2.json")
+    rc = main(
+        ["faq", "--file_path", f"{FILES}/faq_export.json", "--type",
+         "json_export", "--synonyms_file_path", syn_csv,
+         "--output_file_path", out2], spark=spark,
+    )
+    assert rc == 0
+    with open(out2) as f:
+        export2 = json.load(f)
+    # merged synonyms include both export-level and generated entries
+    assert "rtgs" in export2["synonyms"]
+    assert any(k for k in export2["synonyms"] if k not in ("rtgs",))
+
+    # 4. standalone analyzer (entry point 2)
+    report = str(tmp_path / "report.csv")
+    rc = main(
+        ["analyze", "--file_path", out2, "--report_path", report],
+        spark=spark,
+    )
+    assert rc == 0 and os.path.exists(report)
+
+
+def test_cli_corpus_with_resume(spark, tmp_path):
+    from knowledgegraphgenerator_spark.sources.webpages import (
+        synthetic_web_pages,
+    )
+
+    src = str(tmp_path / "pages")
+    synthetic_web_pages(spark, 200, n_partitions=4).select(
+        "doc_id", "url", "warc_ts", "text", "lang"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "kg_out")
+    rc = main(
+        ["corpus", "--input", src, "--output", out,
+         "--resume-root", str(tmp_path / "stages")], spark=spark,
+    )
+    assert rc == 0
+    triples = spark.read.parquet(out)
+    assert triples.count() > 0
+    assert "subj_bucket" in triples.columns
+    # resume: second run loads committed stages (fast) and succeeds
+    rc = main(
+        ["corpus", "--input", src, "--output", out,
+         "--resume-root", str(tmp_path / "stages")], spark=spark,
+    )
+    assert rc == 0
