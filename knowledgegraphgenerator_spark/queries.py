@@ -24,7 +24,9 @@ Coverage map to SURVEY.md §2 (reference file:line cited per query):
                      jaccard_pairs, simhash16
   similarity         embedding_topk (brute-force cosine top-k)
   text analysis      lang_id_heuristic, quality_score, token_stats,
-                     winnow_fingerprint
+                     token_stats_bpe, winnow_fingerprint
+  term scoring       tfidf_top_terms, rake_keywords (north_star
+                     TF-IDF/RAKE), term_cooccurrence (hierarchy stats)
   KG pipeline        kg_triples, kg_ontology (rows-only; golden-tested
                      against the sequential oracle in tests/)
 """
