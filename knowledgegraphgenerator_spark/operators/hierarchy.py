@@ -172,14 +172,141 @@ def collapse_sparse_nodes(
 
 
 def optimise_graph(
+    onto: DataFrame,
+    primaries: DataFrame | None = None,
+    node_level: int = OPTIMISER_NODE_LEVEL,
+    max_ques: int = OPTIMISER_MAX_QUES,
+) -> DataFrame:
+    """G1 then G2 in ONE corpus pass (G2 sees G1's rewritten paths —
+    Optmiser.py:56-62 — but both rewrites are pure functions of the OLD
+    path, so the whole decision table is computed on the distinct-path
+    aggregate and joined back once):
+
+      1. path_stats: groupBy(path_key) over the corpus — the only
+         corpus-wide aggregation (counts feed G2; first(path) is exact,
+         path is functionally dependent on path_key);
+      2. G1 demotion per distinct path (prefix explode + anti-join on
+         the small stats table);
+      3. post-G1 path per distinct path = filter(path, ¬demoted)
+         (reverse∘filter commutes with filter∘reverse);
+      4. G2 counts = sum of n_ques grouped by post-G1 path — the
+         sequential optimiser's "recomputed path map" without touching
+         the corpus again;
+      5. one join back applying demote+collapse in a single projection
+         (tag append order preserved: demoted in terms order, then
+         collapsed remainder in path order — Optmiser.py:8-19,44-54).
+
+    Shuffle budget: 1 corpus aggregation + 1 corpus join-back (strategy
+    left to AQE) vs the naive two passes of each.
+    """
+    onto = onto.persist()
+    w = _with_path(onto)
+    scoped = w if primaries is None else w.join(primaries, "doc_id", "semi")
+
+    path_stats = scoped.groupBy("path_key").agg(
+        F.count(F.lit(1)).alias("n_ques"), F.first("path").alias("path")
+    )
+    prefixes = (
+        path_stats.filter(F.size("path") >= 3)
+        .select(
+            "path_key",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(path) - 1),"
+                    " i -> slice(path, 1, i))"
+                )
+            ).alias("prefix"),
+        )
+        .withColumn("prefix_key", F.concat_ws(_SEP, "prefix"))
+    )
+    missing = prefixes.join(
+        path_stats.select(F.col("path_key").alias("prefix_key")),
+        "prefix_key",
+        "left_anti",
+    )
+    demoted = missing.groupBy("path_key").agg(
+        F.collect_set(F.element_at("prefix", -1)).alias("demoted")
+    )
+    stats = (
+        path_stats.join(demoted, "path_key", "left")
+        .withColumn(
+            "new_path",
+            F.when(F.col("demoted").isNull(), F.col("path")).otherwise(
+                F.expr("filter(path, t -> NOT array_contains(demoted, t))")
+            ),
+        )
+        .withColumn("new_path_key", F.concat_ws(_SEP, "new_path"))
+    )
+    g2_counts = stats.groupBy("new_path_key").agg(
+        F.sum("n_ques").alias("total_ques")
+    )
+    decisions = stats.join(g2_counts, "new_path_key").select(
+        "path_key",
+        "demoted",
+        "new_path",
+        (
+            (F.size("new_path") == F.lit(node_level + 1))
+            & (F.col("total_ques") < F.lit(max_ques))
+        ).alias("collapse"),
+    )
+
+    applied = (
+        scoped.join(decisions, "path_key")
+        .withColumn(
+            "terms1",
+            F.when(F.col("demoted").isNull(), F.col("terms")).otherwise(
+                F.expr("filter(terms, t -> NOT array_contains(demoted, t))")
+            ),
+        )
+        .withColumn(
+            "tags1",
+            F.when(F.col("demoted").isNull(), F.col("tags")).otherwise(
+                F.concat(
+                    "tags",
+                    F.expr("filter(terms, t -> array_contains(demoted, t))"),
+                )
+            ),
+        )
+        .withColumn(
+            "final_terms",
+            F.when(
+                F.col("collapse"),
+                F.reverse(F.slice("new_path", 1, node_level)),
+            ).otherwise(F.col("terms1")),
+        )
+        .withColumn(
+            "final_tags",
+            F.when(
+                F.col("collapse"),
+                F.concat(
+                    "tags1",
+                    F.expr(
+                        f"slice(new_path, {node_level + 1},"
+                        f" greatest(size(new_path) - {node_level}, 0))"
+                    ),
+                ),
+            ).otherwise(F.col("tags1")),
+        )
+        .select(
+            "doc_id",
+            "question",
+            F.col("final_terms").alias("terms"),
+            F.col("final_tags").alias("tags"),
+        )
+    )
+    if primaries is None:
+        return applied
+    rest = w.join(primaries, "doc_id", "anti").select(
+        "doc_id", "question", "terms", "tags"
+    )
+    return applied.unionByName(rest)
+
+
+def optimise_graph_two_pass(
     onto: DataFrame, primaries: DataFrame | None = None
 ) -> DataFrame:
-    """G1 then G2 (G2 sees G1's rewritten paths — Optmiser.py:56-62).
-
-    Both passes reference their input from multiple plan branches
-    (path-set distinct + join-back), so inputs are persisted here —
-    without this the upstream linking stage re-executes per branch.
-    """
+    """Reference-shaped two-pass formulation (kept as the readable spec
+    and as the differential-test twin of the fused optimise_graph)."""
     onto = onto.persist()
     g1 = demote_empty_ancestors(onto, primaries).persist()
     return collapse_sparse_nodes(g1, primaries)

@@ -128,3 +128,39 @@ def test_partitioning_invariance(spark, n_partitions):
     assert got == {
         qid: (o["terms"], o["tags"]) for qid, o in expected.items()
     }
+
+
+def test_fused_equals_two_pass(spark):
+    """Differential: fused single-corpus-pass optimiser == the
+    reference-shaped two-pass formulation on a mixed workload."""
+    from knowledgegraphgenerator_spark.operators.hierarchy import (
+        optimise_graph_two_pass,
+    )
+
+    ttm = {}
+    qid = 1
+    for leaf in ("l1", "l2", "l3"):
+        for mid in ("m1", "m2"):
+            ttm[qid] = {"question": f"q{qid}",
+                        "terms": [leaf, mid, ROOT], "tags": []}
+            qid += 1
+    ttm[qid] = {"question": "solo", "terms": ["only", ROOT], "tags": ["t"]}
+    qid += 1
+    ttm[qid] = {"question": "rooty", "terms": [ROOT], "tags": []}
+    rows = [
+        (k, o["question"], o["terms"], o["tags"]) for k, o in ttm.items()
+    ]
+    onto = spark.createDataFrame(
+        rows,
+        "doc_id long, question string, terms array<string>, "
+        "tags array<string>",
+    )
+    fused = {
+        r["doc_id"]: (list(r["terms"]), list(r["tags"]))
+        for r in optimise_graph(onto).collect()
+    }
+    twopass = {
+        r["doc_id"]: (list(r["terms"]), list(r["tags"]))
+        for r in optimise_graph_two_pass(onto).collect()
+    }
+    assert fused == twopass
