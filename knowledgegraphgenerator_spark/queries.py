@@ -801,6 +801,26 @@ def q_term_cooccurrence(spark, sf_dir):
     )
 
 
+def q_parts_rollup(spark, sf_dir):
+    """Grouping-sets family (SURVEY.md §2.4 'absent in reference,
+    built-in if needed'): ROLLUP over (brand, type) with subtotal rows."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.rollup("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_size").cast("long")).alias("sum_size"),
+        )
+        # subtotal NULLs -> explicit sentinel: keeps the cross-engine
+        # value comparison free of NULL-ordering semantics
+        .select(
+            F.coalesce("p_brand", F.lit("(all)")).alias("brand"),
+            F.coalesce("p_type", F.lit("(all)")).alias("ptype"),
+            "n_parts", "sum_size",
+        )
+    )
+
+
 def q_kg_triples(spark, sf_dir):
     """Flagship: full KG construction over the documents table
     (rows-only driver check; golden-tested in tests/test_pipeline_golden)."""
@@ -847,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "term_cooccurrence": q_term_cooccurrence,
     "token_stats_bpe": q_token_stats_bpe,
+    "parts_rollup": q_parts_rollup,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
     "cust_no_orders": q_cust_no_orders,
@@ -1014,6 +1035,13 @@ ORACLES: dict[str, str] = {
         f"{FP_MOD} * 31 + t2) % {FP_MOD} * 31 + t3) % {FP_MOD})"
         " AS BIGINT) AS n_shingles "
         "FROM grams WHERE t3 IS NOT NULL GROUP BY doc_id"
+    ),
+    "parts_rollup": (
+        "SELECT coalesce(p_brand, '(all)') AS brand,"
+        " coalesce(p_type, '(all)') AS ptype,"
+        " CAST(count(*) AS BIGINT) AS n_parts, "
+        "CAST(sum(p_size) AS BIGINT) AS sum_size "
+        "FROM part GROUP BY ROLLUP (p_brand, p_type)"
     ),
     "token_stats_bpe": (
         "SELECT doc_id, "
