@@ -29,6 +29,7 @@ Input is expected to be normalize_text() output: lowercase, ``\\w``-only.
 from __future__ import annotations
 
 from knowledgegraphgenerator_spark.core.lemmatize import verb_lemma
+from knowledgegraphgenerator_spark.core.textnorm import tokenize
 
 CHUNKER_VERSION = 1
 
@@ -111,7 +112,7 @@ def noun_chunks(sentence: str) -> list[list[str]]:
     happens downstream as in the reference, phrase_finder.py:58)."""
     chunks: list[list[str]] = []
     current: list[str] = []
-    for tok in sentence.split():
+    for tok in tokenize(sentence):
         if token_class(tok) == "NOUNISH":
             current.append(tok)
         elif current:
@@ -135,7 +136,7 @@ def verb_span_lemmas(sentence: str) -> list[str]:
                 out.append(verb_lemma(tok) if c == "VERB" else tok)
         run.clear()
 
-    for tok in sentence.split():
+    for tok in tokenize(sentence):
         c = token_class(tok)
         if c in ("VERB", "ADV"):
             run.append((tok, c))

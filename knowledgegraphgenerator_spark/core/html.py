@@ -55,7 +55,18 @@ def extract_text(html: bytes | str | None) -> str:
     s = _BLOCK_TAGS.sub("\n", s)
     s = _ANY_TAG.sub(" ", s)
     s = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
-    s = _NUM_ENTITY_RE.sub(lambda m: chr(int(m.group(1))) if int(m.group(1)) < 0x110000 else " ", s)
+    # lone UTF-16 surrogates (0xD800-0xDFFF) are valid chr() inputs but
+    # cannot be UTF-8-encoded — Arrow/parquet would fail the whole task on
+    # one malformed &#55296; in web HTML — so they map to ' ' like
+    # out-of-range ordinals (ADVICE r1 item 5).
+    s = _NUM_ENTITY_RE.sub(
+        lambda m: (
+            chr(n)
+            if (n := int(m.group(1))) < 0x110000 and not (0xD800 <= n <= 0xDFFF)
+            else " "
+        ),
+        s,
+    )
     s = _SPACES.sub(" ", s)
     lines = [ln.strip() for ln in s.split("\n")]
     s = "\n".join(ln for ln in lines if ln)

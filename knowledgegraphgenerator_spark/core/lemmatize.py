@@ -81,7 +81,9 @@ def lemmatize_sentence(sentence: str) -> str:
     """
     if not sentence:
         return ""
-    return " ".join(noun_lemma(t) for t in sentence.split())
+    from knowledgegraphgenerator_spark.core.textnorm import tokenize
+
+    return " ".join(noun_lemma(t) for t in tokenize(sentence))
 
 
 def verb_lemma(word: str) -> str:

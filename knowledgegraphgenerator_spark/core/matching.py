@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from knowledgegraphgenerator_spark.config import BOT_NAME, MASK_TOKEN
 from knowledgegraphgenerator_spark.core.lemmatize import noun_lemma
+from knowledgegraphgenerator_spark.core.textnorm import tokenize
 
 
 class RankedDictionary:
@@ -170,7 +171,7 @@ def assign_terms(
     dictionary: RankedDictionary,
 ) -> tuple[list[str], list[str]]:
     """-> (terms ending in BOT_NAME, tags list of 0/1 elements)."""
-    doc = [noun_lemma(t) for t in normalized_ques.split()]
+    doc = [noun_lemma(t) for t in tokenize(normalized_ques)]
     orig_doc = doc
     stop = dictionary.stop_tokens
     terms: list[str] = []

@@ -98,6 +98,25 @@ _CONTRACTIONS_RE = re.compile(
 
 _NON_WORD_RE = re.compile(r"\W+")
 
+# Treebank CONTRACTIONS2/3 splits that survive ``\W+`` normalization
+# (apostrophe-bearing entries like d'ye / more'n are already split by the
+# non-word collapse). nltk.word_tokenize applies these on top of
+# whitespace splitting — 'cannot' (produced by the can't -> cannot
+# expansion) tokenizes as 'can'+'not' — so the match/extract token stream
+# must replicate them or lemmatized docs diverge from the reference for
+# contraction-bearing questions (ADVICE r1 item 3;
+# /root/reference/analyzer/kg_export/language/Lemmatize.py:86-89).
+TREEBANK_SPLITS: dict[str, tuple[str, ...]] = {
+    "cannot": ("can", "not"),
+    "gimme": ("gim", "me"),
+    "gonna": ("gon", "na"),
+    "gotta": ("got", "ta"),
+    "lemme": ("lem", "me"),
+    "wanna": ("wan", "na"),
+    "whaddya": ("whad", "dd", "ya"),
+    "whatcha": ("wha", "t", "cha"),
+}
+
 
 def expand_contractions(text: str) -> str:
     """Single alternation pass; replacement keyed by lowercased match."""
@@ -124,13 +143,22 @@ def normalize_text(text: str, lang: str = "en") -> str:
 
 
 def tokenize(text: str) -> list[str]:
-    """Whitespace tokenization.
+    """Whitespace tokenization + Treebank CONTRACTIONS2/3 splits.
 
     On ``en``-normalized text every non-word char is already a single
-    space, so whitespace split equals word tokenization of the reference
-    (nltk.word_tokenize over ``\\w``-only text,
-    /root/reference/analyzer/kg_export/language/Lemmatize.py:86-89).
+    space, so whitespace split plus the TREEBANK_SPLITS table equals the
+    reference's nltk.word_tokenize over ``\\w``-only text
+    (/root/reference/analyzer/kg_export/language/Lemmatize.py:86-89; the
+    Treebank tokenizer additionally splits cannot/gonna/wanna/... after
+    the punctuation rules, which are no-ops on ``\\w``-only input).
     """
     if not text:
         return []
-    return text.split()
+    out: list[str] = []
+    for tok in text.split():
+        split = TREEBANK_SPLITS.get(tok)
+        if split is not None:
+            out.extend(split)
+        else:
+            out.append(tok)
+    return out

@@ -72,7 +72,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def lemmatize_sentence_udf(text: pd.Series) -> pd.Series:
     return text.fillna("").map(
-        lambda s: " ".join(noun_lemma(t) for t in s.split())
+        lambda s: " ".join(noun_lemma(t) for t in textnorm.tokenize(s))
     )
 
 

@@ -78,15 +78,16 @@ def build_export(onto: DataFrame, faq: DataFrame) -> DataFrame:
             ).alias("alternateQuestions")
         )
     )
+    # No text default here: the 'test' default is a KEY-MISSING default
+    # applied once by the parsers (JSONGenerator.py:43 semantics — an
+    # explicit "text": null passes through as null; ADVICE r1 item 4).
     answers = F.expr(
         "transform(answer, a -> struct("
-        "coalesce(a.text, 'test') AS text, a.type AS type,"
-        " a.channel AS channel))"
+        "a.text AS text, a.type AS type, a.channel AS channel))"
     )
     sub_answers = F.expr(
         "transform(sub_answers, alt -> transform(alt, a -> struct("
-        "coalesce(a.text, 'test') AS text, a.type AS type,"
-        " a.channel AS channel)))"
+        "a.text AS text, a.type AS type, a.channel AS channel)))"
     )
     return (
         primary.join(alt_structs,

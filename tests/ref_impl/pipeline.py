@@ -28,7 +28,7 @@ from knowledgegraphgenerator_spark.config import (
 from knowledgegraphgenerator_spark.core.extraction import extract_features
 from knowledgegraphgenerator_spark.core.lemmatize import noun_lemma
 from knowledgegraphgenerator_spark.core.matching import single_word_tag
-from knowledgegraphgenerator_spark.core.textnorm import normalize_text
+from knowledgegraphgenerator_spark.core.textnorm import normalize_text, tokenize
 
 
 def find_all_phrases(normalized_questions, stop_tokens):
@@ -97,7 +97,9 @@ def generate_graph(question_map, stop_tokens):
 
     result = {}
     for qid, (raw, norm) in question_map.items():
-        doc = " ".join(noun_lemma(t) for t in norm.split())
+        # tokenize = whitespace + Treebank CONTRACTIONS2/3 splits, matching
+        # nltk.word_tokenize on \w-only text (cannot -> can not, ...)
+        doc = " ".join(noun_lemma(t) for t in tokenize(norm))
         terms, tag = [], ""
         for term, cnt in phrases.most_common():
             if cnt == 1:
