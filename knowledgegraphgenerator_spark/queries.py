@@ -1162,6 +1162,16 @@ ORACLES: dict[str, str] = {
         "min(ts_epoch) AS start_epoch, max(ts_epoch) AS end_epoch "
         "FROM t GROUP BY user_id, session_id"
     ),
-    # kg_triples / kg_ontology: rows-only (chunker+masking are the
-    # non-SQL-expressible core; golden-tested vs the sequential oracle).
 }
+
+# kg_triples / kg_ontology: the FULL pipeline (normalize → chunker →
+# dictionary → greedy masked matching → optimiser → triples) expressed in
+# DuckDB SQL, generated from the same pinned spec tables the engine uses —
+# rows-only in round 1, three-check gated from round 2 (oracles_kg.py).
+from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
+    kg_ontology_oracle_sql,
+    kg_triples_oracle_sql,
+)
+
+ORACLES["kg_triples"] = kg_triples_oracle_sql()
+ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
