@@ -165,6 +165,58 @@ def single_word_tag(raw_question: str, stop_tokens: frozenset[str]) -> str:
     return ""
 
 
+def assign_terms_from_candidates(
+    doc_tokens: list[str],
+    raw_question: str,
+    cands: list[tuple[int, str, int]],
+    stop_tokens: frozenset[str],
+) -> tuple[list[str], list[str]]:
+    """Greedy masked replay over a PRE-SORTED candidate list — the
+    per-document kernel of the token-block linking fallback
+    (operators/linking.py:link_terms_blocked).
+
+    ``cands``: (sec, term, cnt) sorted by (sec, -cnt, first_seen) where
+    sec is 0=phrases / 1=unigrams / 2=verbs — exactly the scan order of
+    the reference's three most_common loops (NGramStrategy.py:64-100).
+    Semantics are identical to assign_terms with a full RankedDictionary:
+    the blocked join guarantees every term that could match is present
+    (lead token/pair blocking is a superset of \\b-matches), and cnt<2
+    entries are skipped (break-at-1 ≡ filter on a count-descending scan)
+    but still participate in the merged-count sort key (dict.update
+    overwrite priority phrases <- unigrams <- verbs, NGramStrategy.py:52-55).
+    """
+    doc = doc_tokens
+    terms: list[str] = []
+    tag = ""
+    merged: dict[str, int] = {}
+    for want_sec in (0, 1, 2):
+        for sec, term, cnt in cands:
+            if sec == want_sec:
+                merged[term] = cnt
+
+    for sec, term, cnt in cands:
+        if cnt < 2:
+            continue
+        if sec < 2:
+            if term in stop_tokens:
+                continue
+            toks = term.split(" ")
+            spans = _find_spans(doc, toks)
+            if spans:
+                doc = _mask_spans(doc, spans)
+                terms.append(term)
+        elif _find_spans(doc, term.split(" ")):
+            tag = term  # last ranked match wins (NGramStrategy.py:92-100)
+
+    if not (terms or tag):
+        tag = single_word_tag(raw_question, stop_tokens)
+
+    terms = sorted(
+        filter_substrings(terms), key=lambda t: merged[t]
+    ) + [BOT_NAME]
+    return terms, ([tag] if tag else [])
+
+
 def assign_terms(
     normalized_ques: str,
     raw_question: str,

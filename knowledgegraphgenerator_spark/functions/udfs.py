@@ -81,3 +81,13 @@ def lemmatize_tokens_udf(tokens: pd.Series) -> pd.Series:
     return tokens.map(
         lambda ts: [noun_lemma(t) for t in ts] if ts is not None else []
     )
+
+
+@pandas_udf(ArrayType(StringType()))
+def match_tokens_udf(text: pd.Series) -> pd.Series:
+    """Match-doc token stream: tokenize (whitespace + Treebank splits)
+    then per-token noun lemma — the token form of lemmatize_sentence_udf,
+    consumed by the token-block linking fallback (operators/linking.py)."""
+    return text.fillna("").map(
+        lambda s: [noun_lemma(t) for t in textnorm.tokenize(s)]
+    )

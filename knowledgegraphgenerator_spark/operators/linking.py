@@ -17,10 +17,23 @@ expressible as an equi-join, so it runs as one fused Arrow pass:
     so the stage output is final (doc_id, question, terms, tags) — no
     further shuffle.
 
-Scale fallback (documented, not needed at current dictionary sizes): if
-the dictionary outgrows broadcast, switch to token-block + verify — explode
-doc tokens, equi-join on the term lead token, re-verify the full match and
-replay masking per doc in a grouped applyInPandas.
+Scale fallback (``link_terms_blocked``): when the dictionary outgrows
+broadcast (multi-domain 100 TB crawls can exceed the Heaps-law estimate in
+SCALE.md), the dictionary NEVER leaves the cluster: explode each doc's
+lemma tokens and adjacent token pairs, equi-join against the dictionary
+keyed by lead token (single-token terms) / lead pair (multi-token terms) —
+a superset of every possible ``\\b``-match — collect the per-doc candidate
+list (bounded by doc length, not dictionary size), and replay the greedy
+masked scan per doc inside one Arrow pass
+(core/matching.py:assign_terms_from_candidates). Differentially tested
+equal to the broadcast matcher (tests/test_linking_blocked.py) and gated
+by the same kg_triples DuckDB oracle (queries.py:kg_triples_blocked).
+
+Shuffle budget of the fallback: 1 token-key equi-join (shuffle hash, AQE
+skew-join eligible) + 1 groupBy(doc_id) collect + 1 doc join-back — vs
+zero shuffles for the broadcast path. ``link_terms_auto`` picks per run:
+broadcast below ``broadcast_term_limit`` dictionary entries, blocked
+above.
 """
 
 from __future__ import annotations
@@ -88,3 +101,131 @@ def link_terms(
             )
 
     return src.mapInPandas(gen, schema=_ONTOLOGY_SCHEMA)
+
+
+_PAIR_SEP = "\x01"  # tokens are \w-only, so \x01 cannot collide
+
+
+def _dictionary_df(frames: dict[str, DataFrame]) -> DataFrame:
+    """frames (term, cnt, first_seen) per section -> one blocked-join
+    dictionary keyed by lead token / lead pair. Verbs stay UNfiltered:
+    cnt==1 verbs never match (break-at-1) but overwrite the merged sort
+    key (NGramStrategy.py:52-55), so they must reach the replay."""
+    parts = []
+    for sec, name in ((0, "phrases"), (1, "unigrams"), (2, "verbs")):
+        parts.append(
+            frames[name].select(
+                F.lit(sec).alias("sec"),
+                "term",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.col("first_seen.doc_id").alias("fs_doc"),
+                F.col("first_seen.pos").alias("fs_pos"),
+            )
+        )
+    unioned = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    toks = F.split("term", " ")
+    return unioned.withColumn(
+        "block_key",
+        F.when(
+            F.size(toks) >= 2,
+            F.concat(toks[0], F.lit(_PAIR_SEP), toks[1]),
+        ).otherwise(toks[0]),
+    )
+
+
+def link_terms_blocked(
+    df: DataFrame,
+    frames: dict[str, DataFrame],
+    stop_tokens: frozenset[str],
+    id_col: str = "doc_id",
+    raw_col: str = "question",
+    norm_col: str = "norm_text",
+) -> DataFrame:
+    """Token-block + verify linking: no driver collect, no Python
+    broadcast of the dictionary (VERDICT r1 'Next round' #1).
+
+    (doc_id, question, norm_text) -> (doc_id, question, terms, tags),
+    identical to link_terms.
+    """
+    from knowledgegraphgenerator_spark.functions.udfs import match_tokens_udf
+
+    spark = df.sparkSession
+    bc_stop = spark.sparkContext.broadcast(stop_tokens)
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(raw_col).alias("question"),
+        match_tokens_udf(F.col(norm_col)).alias("ltoks"),
+    ).persist()
+
+    # per-doc DISTINCT block keys: every lemma token + every adjacent pair
+    doc_keys = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    "ltoks",
+                    F.expr(
+                        "transform(slice(ltoks, 1,"
+                        " greatest(size(ltoks) - 1, 0)),"
+                        f" (x, i) -> concat(x, '{_PAIR_SEP}', ltoks[i + 1]))"
+                    ),
+                )
+            )
+        ).alias("block_key"),
+    )
+
+    dict_df = _dictionary_df(frames)
+    # shuffle hash equi-join on the block key; the dictionary side never
+    # leaves the cluster. AQE skew-join handles hot lead tokens.
+    cands = doc_keys.join(dict_df, "block_key").select(
+        "doc_id", "sec", "term", "cnt", "fs_doc", "fs_pos"
+    )
+    grouped = cands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("sec", "term", "cnt", "fs_doc", "fs_pos"))
+        .alias("cands")
+    )
+    joined = docs.join(grouped, "doc_id", "left")
+
+    from knowledgegraphgenerator_spark.core.matching import (
+        assign_terms_from_candidates,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stop = bc_stop.value
+        for pdf in batches:
+            terms_col: list[list[str]] = []
+            tags_col: list[list[str]] = []
+            for ltoks, raw, cands_row in zip(
+                pdf["ltoks"], pdf["question"], pdf["cands"]
+            ):
+                if cands_row is None or len(cands_row) == 0:
+                    ranked = []
+                else:
+                    # section order, then most_common (cnt desc, first-seen)
+                    ranked = sorted(
+                        (
+                            (c["sec"], c["term"], c["cnt"],
+                             c["fs_doc"], c["fs_pos"])
+                            for c in cands_row
+                        ),
+                        key=lambda c: (c[0], -c[2], c[3], c[4]),
+                    )
+                    ranked = [(s, t, c) for s, t, c, _, _ in ranked]
+                terms, tags = assign_terms_from_candidates(
+                    list(ltoks), raw or "", ranked, stop
+                )
+                terms_col.append(terms)
+                tags_col.append(tags)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "question": pdf["question"],
+                    "terms": terms_col,
+                    "tags": tags_col,
+                }
+            )
+
+    return joined.select("doc_id", "question", "ltoks", "cands").mapInPandas(
+        gen, schema=_ONTOLOGY_SCHEMA
+    )

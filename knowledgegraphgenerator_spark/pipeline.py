@@ -23,7 +23,8 @@ from knowledgegraphgenerator_spark.functions.udfs import (
     extract_text_udf,
     normalize_text_udf,
 )
-from knowledgegraphgenerator_spark.operators import hierarchy, linking, phrases, triples
+from knowledgegraphgenerator_spark.operators import hierarchy, phrases, triples
+from knowledgegraphgenerator_spark.operators import linking as linking_ops
 
 
 @dataclass
@@ -133,7 +134,18 @@ def run_pipeline(
     primaries: DataFrame | None = None,
     synonyms: DataFrame | None = None,
     altq: DataFrame | None = None,
+    linking: str = "auto",
+    broadcast_term_limit: int = 2_000_000,
 ) -> KGResult:
+    """``linking``: 'broadcast' collects the ranked dictionary to the
+    driver and broadcasts it (zero linking shuffles — right while the
+    dictionary is vocabulary-bounded); 'blocked' keeps the dictionary on
+    the cluster and links via the token-block equi-join
+    (operators/linking.py:link_terms_blocked — right when the dictionary
+    outgrows broadcast); 'auto' counts the dictionary once and picks
+    (<= broadcast_term_limit entries -> broadcast)."""
+    if linking not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown linking strategy: {linking!r}")
     stops = resolve_stop_words(lang, stop_words)
     # Small-file inputs (one parquet footer) arrive as 1 split — fan out
     # to the cluster's parallelism or every Arrow stage runs on one core.
@@ -154,21 +166,45 @@ def run_pipeline(
     ).persist()
     frames = phrases.term_counts(features)
     frames["phrases"] = phrases.dedup_equal_count_phrases(frames["phrases"])
-    dictionary = phrases.collect_ranked_dictionary(frames, stops)
-    features.unpersist()
-    onto = linking.link_terms(
-        normalized, dictionary,
-        id_col="doc_id", raw_col="question", norm_col="norm_text",
-    )
+
+    use_blocked = linking == "blocked"
+    dictionary_sizes: dict[str, int] = {}
+    if linking == "auto":
+        # ONE tiny count job over the aggregated (vocabulary-bounded)
+        # dictionaries — the price of choosing the right join strategy
+        unioned = None
+        for kind, df in frames.items():
+            part = df.select(F.lit(kind).alias("kind"))
+            unioned = part if unioned is None else unioned.unionByName(part)
+        dictionary_sizes = {
+            r["kind"]: r["n"]
+            for r in unioned.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        use_blocked = sum(dictionary_sizes.values()) > broadcast_term_limit
+
+    if use_blocked:
+        onto = linking_ops.link_terms_blocked(
+            normalized, frames, stops,
+            id_col="doc_id", raw_col="question", norm_col="norm_text",
+        )
+    else:
+        dictionary = phrases.collect_ranked_dictionary(frames, stops)
+        features.unpersist()
+        dictionary_sizes = {
+            "phrases": len(dictionary.phrases),
+            "unigrams": len(dictionary.unigrams),
+            "verbs": len(dictionary.verbs),
+        }
+        onto = linking_ops.link_terms(
+            normalized, dictionary,
+            id_col="doc_id", raw_col="question", norm_col="norm_text",
+        )
     # persisted: triples reads the ontology from three plan branches
     onto = hierarchy.optimise_graph(onto, primaries).persist()
     trip = triples.build_triples(onto, synonyms=synonyms, altq=altq)
     return KGResult(
         ontology=onto,
         triples=trip,
-        dictionary_sizes={
-            "phrases": len(dictionary.phrases),
-            "unigrams": len(dictionary.unigrams),
-            "verbs": len(dictionary.verbs),
-        },
+        dictionary_sizes=dictionary_sizes,
     )

@@ -830,6 +830,17 @@ def q_kg_triples(spark, sf_dir):
     return run_pipeline(docs).triples
 
 
+def q_kg_triples_blocked(spark, sf_dir):
+    """Flagship via the token-block linking fallback (no driver collect,
+    no Python broadcast of the dictionary — operators/linking.py:
+    link_terms_blocked): must equal kg_triples value-for-value, gated by
+    the same full-pipeline DuckDB oracle."""
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return run_pipeline(docs, linking="blocked").triples
+
+
 def q_kg_ontology(spark, sf_dir):
     """KG ontology rows (terms/tags per doc), arrays flattened to strings
     for a stable driver-side schema (rows-only check)."""
@@ -876,6 +887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_event_counts": q_hourly_event_counts,
     "sessionize": q_sessionize,
     "kg_triples": q_kg_triples,
+    "kg_triples_blocked": q_kg_triples_blocked,
     "kg_ontology": q_kg_ontology,
 }
 
@@ -1174,4 +1186,5 @@ from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
 )
 
 ORACLES["kg_triples"] = kg_triples_oracle_sql()
+ORACLES["kg_triples_blocked"] = kg_triples_oracle_sql()
 ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
