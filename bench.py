@@ -19,11 +19,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from knowledgegraphgenerator_spark.queries import QUERIES  # noqa: E402
+from knowledgegraphgenerator_spark.queries import BENCH_EXTRA, QUERIES  # noqa: E402
 from knowledgegraphgenerator_spark.session import get_spark  # noqa: E402
+
+ALL = {**QUERIES, **BENCH_EXTRA}
 
 HEADLINE = [
     "kg_triples",
+    "kg_triples_blocked",
     "term_count_threshold",
     "bigram_count",
     "substring_dedup",
@@ -33,6 +36,13 @@ HEADLINE = [
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash16",
+    # real sketch operators (xxhash64, no dense-id parity window) — these
+    # are the shapes a 100 TB run uses; the dense-id twins above exist for
+    # DuckDB value parity (VERDICT r1 'What's wrong' #5)
+    "neardup_pairs_scale",
+    "minhash_scale",
+    "simhash64_scale",
+    "winnow_scale",
     "embedding_topk",
     "winnow_fingerprint",
     "tfidf_top_terms",
@@ -75,7 +85,7 @@ def main() -> None:
     rows: dict[str, int] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = _run(QUERIES[name](spark, sf_dir))
+        n = _run(ALL[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
 

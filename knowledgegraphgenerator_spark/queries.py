@@ -453,6 +453,75 @@ def q_simhash16(spark, sf_dir):
     )
 
 
+def q_neardup_pairs_scale(spark, sf_dir):
+    """The REAL near-dup operator chain at scale shape (VERDICT r1 #6):
+    xxhash64-based MinHash (operators/dedup.py) → 16 one-row LSH bands →
+    integer-exact Jaccard verify (>= 0.8). The OUTPUT is hash-function
+    independent — verify is exact and banding recall at J >= 0.8 is
+    1-(1-J)^16 >= 1-2.6e-12 per pair — so the brute-force DuckDB oracle
+    gates the whole chain value-for-value even though the minhash values
+    themselves are engine-specific."""
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        lsh_candidate_pairs as lsh_pairs_op,
+        minhash_signatures as minhash_op,
+        token_shingles,
+        verify_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = token_shingles(docs, "text", "doc_id", n=3).persist()
+    sigs = minhash_op(sh, "doc_id", k=16)
+    # rows_per_band=1: recall-max banding; bucket guard off because the
+    # oracle needs exact recall (the guard is a scale safety valve for
+    # adversarial hot buckets, tested separately)
+    pairs = lsh_pairs_op(sigs, "doc_id", rows_per_band=1, max_bucket=None)
+    return verify_jaccard(pairs, sh, "doc_id", 8, 10)
+
+
+def q_minhash_scale(spark, sf_dir):
+    """Bench-only: the xxhash64 minhash operator itself (k=16), no
+    dense-id parity window (values are engine-specific -> no oracle)."""
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        minhash_signatures as minhash_op,
+        token_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_op(token_shingles(docs, "text", "doc_id", 3), "doc_id", 16)
+
+
+def q_simhash64_scale(spark, sf_dir):
+    """Bench-only: 64-bit xxhash64 SimHash operator (JVM-only plan)."""
+    from knowledgegraphgenerator_spark.operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs, "text", "doc_id")
+
+
+def q_winnow_scale(spark, sf_dir):
+    """Bench-only: rolling 4-gram fingerprint from xxhash64 token ids —
+    the winnow operator without the dense-id dictionary sort the oracle
+    variant pays for DuckDB integer parity."""
+    toks = _tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("tid", F.pmod(F.xxhash64("term"), F.lit(FP_MOD)))
+    grams = (
+        seq.withColumn("t1", F.lead("tid", 1).over(w))
+        .withColumn("t2", F.lead("tid", 2).over(w))
+        .withColumn("t3", F.lead("tid", 3).over(w))
+        .where(F.col("t3").isNotNull())
+        .withColumn(
+            "h",
+            (((F.col("tid") * 31 + F.col("t1")) % FP_MOD * 31
+              + F.col("t2")) % FP_MOD * 31 + F.col("t3")) % FP_MOD,
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"),
+        F.countDistinct("h").alias("n_shingles"),
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for query vectors (vec_id < 10).
 
@@ -886,9 +955,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_signup_propagation": q_last_signup_propagation,
     "hourly_event_counts": q_hourly_event_counts,
     "sessionize": q_sessionize,
+    "neardup_pairs_scale": q_neardup_pairs_scale,
     "kg_triples": q_kg_triples,
     "kg_triples_blocked": q_kg_triples_blocked,
     "kg_ontology": q_kg_ontology,
+}
+
+# Bench-only callables (timed by bench.py, not driver-gated): the raw
+# sketch operators whose output values are hash-engine-specific, so a
+# DuckDB value oracle is impossible by construction. Their DECISION-level
+# composition (neardup_pairs_scale) IS oracle-gated above.
+BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "minhash_scale": q_minhash_scale,
+    "simhash64_scale": q_simhash64_scale,
+    "winnow_scale": q_winnow_scale,
 }
 
 
@@ -963,6 +1043,22 @@ ORACLES: dict[str, str] = {
         "SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS union_n "
         "FROM ix JOIN sizes na ON ix.doc_a = na.doc_id "
         "JOIN sizes nb ON ix.doc_b = nb.doc_id "
+        "WHERE inter * 10 >= (na.n + nb.n - inter) * 8"
+    ),
+    # brute-force exact-Jaccard oracle for the xxhash-minhash+LSH+verify
+    # chain: output equality holds because verify is integer-exact and
+    # 16x1 banding recall at J>=0.8 is 1-(1-J)^16 (see q_neardup_pairs_scale)
+    "neardup_pairs_scale": (
+        f"WITH sh AS ({_SHINGLES_SQL}), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh"
+        " GROUP BY doc_id), "
+        "ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " CAST(count(*) AS BIGINT) AS inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT id_a, id_b, inter, na.n + nb.n - inter AS union_n "
+        "FROM ix JOIN sizes na ON ix.id_a = na.doc_id "
+        "JOIN sizes nb ON ix.id_b = nb.doc_id "
         "WHERE inter * 10 >= (na.n + nb.n - inter) * 8"
     ),
     "simhash16": (

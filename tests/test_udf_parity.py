@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from knowledgegraphgenerator_spark.core.lemmatize import noun_lemma
-from knowledgegraphgenerator_spark.core.textnorm import normalize_text
+from knowledgegraphgenerator_spark.core.textnorm import normalize_text, tokenize
 from knowledgegraphgenerator_spark.functions.udfs import (
     lemmatize_sentence_udf,
     normalize_text_udf,
@@ -54,7 +54,8 @@ def test_lemmatize_udf_byte_identical(spark):
         ).collect()
     }
     for i, t in enumerate(texts):
-        assert got[i] == " ".join(noun_lemma(x) for x in t.split())
+        # tokenize = whitespace + Treebank splits (cannot -> can not, ...)
+        assert got[i] == " ".join(noun_lemma(x) for x in tokenize(t))
 
 
 def test_normalize_udf_partitioning_invariant(spark):
