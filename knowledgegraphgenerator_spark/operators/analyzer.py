@@ -110,14 +110,21 @@ def valid_root(faqs: list[dict]) -> tuple[str, bool]:
 def build_nodes_edges(
     spark: SparkSession, faqs: list[dict],
     synonyms: dict[str, list[str]] | None = None,
+    unmapped: list[dict] | None = None,
 ) -> tuple[DataFrame, DataFrame, str]:
     """G3 as tables: nodes(node_id, path_str, name, synonyms, usage,
-    has_faq), edges(parent_id, child_id). Returns (nodes, edges, root)."""
+    has_faq), edges(parent_id, child_id). Returns (nodes, edges, root).
+
+    ``unmapped``: the export's ``unmappedpath`` entries — term paths with
+    no question — appended to the tree walk exactly like the reference
+    (ontology_analyzer.py:88-89: ``faqs + unmapped_paths``); they create
+    has_faq=False nodes and do NOT participate in root validation
+    (valid_root reads ``file_data['faqs']`` only, :70-72)."""
     root_name, is_valid = valid_root(faqs)
     rows = []
     edge_rows = []
     seen: set[str] = set()
-    for faq in faqs:
+    for faq in faqs + list(unmapped or []):
         terms = list(faq["terms"])
         if not is_valid:
             terms = terms + [root_name]

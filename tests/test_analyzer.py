@@ -77,6 +77,31 @@ def test_nodes_edges(spark):
     assert edges.count() == len(n) - 1  # tree
 
 
+def test_nodes_edges_unmappedpath(spark):
+    """Reference ontology_analyzer.py:88-89: 'unmappedpath' entries (term
+    paths with no question) join the tree walk, create has_faq=False
+    nodes, and never vote on root validity."""
+    unmapped = [{"terms": ["orphan topic", "Auto Ontology"]},
+                {"terms": ["deep orphan", "orphan topic", "Auto Ontology"]}]
+    nodes, edges, root = analyzer.build_nodes_edges(
+        spark, EXPORT["faqs"], EXPORT["synonyms"], unmapped=unmapped
+    )
+    n = {r["path_str"]: r for r in nodes.collect()}
+    assert root == "Auto Ontology"  # unmapped terms did not break the root
+    assert n["Auto Ontology/orphan topic"]["has_faq"] is False
+    assert n["Auto Ontology/orphan topic/deep orphan"]["has_faq"] is False
+    # faq-backed nodes keep has_faq=True
+    assert n["Auto Ontology/neft service"]["has_faq"] is True
+    assert edges.count() == len(n) - 1  # still a tree
+    # root validity is computed over faqs ONLY: an unmapped path with a
+    # different last term must not flip the root to 'Auntology'
+    _, _, root2 = analyzer.build_nodes_edges(
+        spark, EXPORT["faqs"], EXPORT["synonyms"],
+        unmapped=[{"terms": ["x", "some other root"]}],
+    )
+    assert root2 == "Auto Ontology"
+
+
 def test_unreachable_questions(spark):
     flagged = analyzer.unreachable_questions(
         spark, EXPORT["faqs"], EXPORT["synonyms"]
