@@ -27,8 +27,14 @@ Coverage map to SURVEY.md §2 (reference file:line cited per query):
                      token_stats_bpe, winnow_fingerprint
   term scoring       tfidf_top_terms, rake_keywords (north_star
                      TF-IDF/RAKE), term_cooccurrence (hierarchy stats)
-  KG pipeline        kg_triples, kg_ontology (rows-only; golden-tested
-                     against the sequential oracle in tests/)
+  scale sketches     neardup_pairs_scale (xxhash minhash → 16x1 LSH →
+                     exact verify; decision-level brute-force oracle);
+                     BENCH_EXTRA: minhash_scale / simhash64_scale /
+                     winnow_scale (bench-only — values engine-specific)
+  KG pipeline        kg_triples, kg_triples_blocked, kg_ontology — FULL
+                     DuckDB oracles (oracles_kg.py: the whole pipeline
+                     incl. recursive-CTE masked matching and the G1/G2
+                     optimiser in SQL), value-hash gated at sf0.01
 """
 
 from __future__ import annotations
