@@ -158,6 +158,14 @@ def collect_ranked_dictionary(
     # collects tripled the latency-bound small-stage overhead); the
     # most_common sort runs on the driver over the already-aggregated
     # dictionary (vocabulary-bounded, ≪ corpus).
+    rows = union_dictionary_frames(frames).collect()
+    return ranked_dictionary_from_rows(rows, stop_tokens)
+
+
+def union_dictionary_frames(frames: dict[str, DataFrame]) -> DataFrame:
+    """All three sections as one (kind, term, cnt, fs_doc, fs_pos) frame
+    — the single-job shape shared by the collect path and the auto
+    strategy probe (pipeline.run_pipeline)."""
     unioned = None
     for kind, df in frames.items():
         part = df.select(
@@ -166,10 +174,18 @@ def collect_ranked_dictionary(
             F.col("first_seen.pos").alias("fs_pos"),
         )
         unioned = part if unioned is None else unioned.unionByName(part)
+    return unioned
+
+
+def ranked_dictionary_from_rows(
+    rows, stop_tokens: frozenset[str]
+) -> RankedDictionary:
+    """Driver-side most_common ranking over pre-collected dictionary rows
+    (kind, term, cnt, fs_doc, fs_pos)."""
     by_kind: dict[str, list[tuple[str, int, int, int]]] = {
         "phrases": [], "unigrams": [], "verbs": []
     }
-    for r in unioned.collect():
+    for r in rows:
         by_kind[r["kind"]].append(
             (r["term"], r["cnt"], r["fs_doc"], r["fs_pos"])
         )

@@ -169,27 +169,37 @@ def run_pipeline(
 
     use_blocked = linking == "blocked"
     dictionary_sizes: dict[str, int] = {}
+    probe_rows = None
     if linking == "auto":
-        # ONE tiny count job over the aggregated (vocabulary-bounded)
-        # dictionaries — the price of choosing the right join strategy
-        unioned = None
-        for kind, df in frames.items():
-            part = df.select(F.lit(kind).alias("kind"))
-            unioned = part if unioned is None else unioned.unionByName(part)
-        dictionary_sizes = {
-            r["kind"]: r["n"]
-            for r in unioned.groupBy("kind")
-            .agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        use_blocked = sum(dictionary_sizes.values()) > broadcast_term_limit
+        # ONE job decides the strategy AND (when broadcast wins) already
+        # delivers the dictionary: collect limit+1 rows — if everything
+        # fit, these ARE the dictionary rows; if the limit was exceeded,
+        # we learned "too big for broadcast" having moved only limit+1
+        # bounded rows to the driver.
+        probe_rows = (
+            phrases.union_dictionary_frames(frames)
+            .limit(broadcast_term_limit + 1)
+            .collect()
+        )
+        use_blocked = len(probe_rows) > broadcast_term_limit
 
     if use_blocked:
         onto = linking_ops.link_terms_blocked(
             normalized, frames, stops,
             id_col="doc_id", raw_col="question", norm_col="norm_text",
         )
+        if probe_rows is not None:
+            sizes: dict[str, int] = {}
+            for r in probe_rows:
+                sizes[r["kind"]] = sizes.get(r["kind"], 0) + 1
+            dictionary_sizes = sizes  # >= truth on the truncated probe
     else:
-        dictionary = phrases.collect_ranked_dictionary(frames, stops)
+        if probe_rows is not None:
+            dictionary = phrases.ranked_dictionary_from_rows(
+                probe_rows, stops
+            )
+        else:
+            dictionary = phrases.collect_ranked_dictionary(frames, stops)
         features.unpersist()
         dictionary_sizes = {
             "phrases": len(dictionary.phrases),

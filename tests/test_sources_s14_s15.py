@@ -90,6 +90,30 @@ def _cos(a, b):
     return dot / (na * nb)
 
 
+def test_pretrained_feeds_s10_synonym_merge(spark, tmp_path):
+    """Close the reference feedback loop: S15 pretrained top-k ->
+    generated_synonyms.csv -> S10 merge into graph synonyms
+    (synonym_generator output consumed by --synonyms_file_path)."""
+    import csv
+
+    from knowledgegraphgenerator_spark.sources.faq import (
+        merge_generated_synonyms,
+    )
+
+    p = str(tmp_path / "vecs.txt")
+    _write_text_format(p)
+    rows = fetch_synonyms_pretrained(
+        load_word2vec_text(spark, p), ["transfer"], 2
+    )
+    out = tmp_path / "generated_synonyms.csv"
+    with open(out, "w", newline="") as f:
+        w = csv.writer(f, delimiter=",", quotechar='"')
+        for word, syns in rows:
+            w.writerow([word, syns])
+    merged = merge_generated_synonyms({"transfer": ["remittance"]}, str(out))
+    assert merged["transfer"] == ["remittance", "wire", "payment"]
+
+
 def test_zip_corpus_fanout(spark, tmp_path):
     zp = tmp_path / "corpus.zip"
     with zipfile.ZipFile(zp, "w") as zf:
