@@ -175,6 +175,118 @@ def stateful_sessionize_stream(
     )
 
 
+def stateful_sessionize_tws(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    query_name: str = "sessions_tws",
+):
+    """Spark-4 successor-API twin of ``stateful_sessionize_stream``:
+    the same gap-sessionization semantics expressed with
+    ``transformWithStateInPandas`` (StatefulProcessor + ValueState,
+    RocksDB state store). Differentially tested equal to the
+    applyInPandasWithState formulation (tests/test_streaming_stateful).
+
+    transformWithState requires the RocksDB state store provider; the
+    config is set per-query via the session (Spark scopes the provider
+    to the stream's checkpoint), so batch workloads are unaffected.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sess", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            epochs: list[int] = []
+            for pdf in rows:
+                epochs.extend(
+                    int(t.timestamp()) for t in pdf["ts"] if t is not None
+                )
+            epochs.sort()
+            closed: list[tuple[int, int, int, int]] = []
+            existing = self._state.get() if self._state.exists() else None
+            if existing is not None:
+                start, last, n = existing
+            else:
+                start, last, n = None, None, 0
+            for e in epochs:
+                if start is None:
+                    start, last, n = e, e, 1
+                elif e - last > gap_seconds:
+                    closed.append((int(user_id), start, last, n))
+                    start, last, n = e, e, 1
+                else:
+                    last, n = e, n + 1
+            if start is not None:
+                self._state.update((start, last, n))
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start",
+                         "session_end", "n_events"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    sessions = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts_stream(
     spark: SparkSession,
     source_dir: str,
