@@ -50,6 +50,7 @@ HEADLINE = [
     "simhash64_scale",
     "winnow_scale",
     "embedding_topk",
+    "embedding_topk_ivf",
     "winnow_fingerprint",
     "tfidf_top_terms",
     "rake_keywords",
@@ -92,8 +93,20 @@ def main() -> None:
     for name in HEADLINE:
         t0 = time.perf_counter()
         n = _run(ALL[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        first = time.perf_counter() - t0
         rows[name] = n
+        # sub-2s queries are scheduler-latency-bound and noisy on a
+        # co-tenant box: report the median of 3 runs for those
+        if first < 2.0:
+            samples = [first]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _run(ALL[name](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = round(samples[1], 3)
+        else:
+            timings[name] = round(first, 3)
 
     # throughput on the flagship: docs/sec and triples/sec
     import pyspark.sql.functions as F  # noqa: N812

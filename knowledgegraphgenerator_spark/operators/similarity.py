@@ -121,7 +121,10 @@ def train_centroids(
                 ).alias("centroid")
             )
         )
-        centroids = means
+        # iterative DataFrame loop: cut lineage per round (same pattern
+        # as operators/components.py) — without this each Lloyd round
+        # re-plans and re-evaluates every previous round's joins
+        centroids = means.localCheckpoint(eager=True)
     assert dim  # schema sanity
     return centroids
 

@@ -568,6 +568,23 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_topk_ivf(spark, sf_dir):
+    """The IVF operator (operators/similarity.py:ivf_topk) driven with
+    n_probe == n_cells: every cell is probed, so the candidate set is
+    exhaustive and the output EXACTLY equals brute force regardless of
+    centroid placement — which lets the approximate-path CODE (centroid
+    training, cell assignment, probed join) share embedding_topk's
+    brute-force oracle value-for-value. The recall/speed trade-off with
+    n_probe < n_cells is unit-tested (test_dedup_similarity)."""
+    from knowledgegraphgenerator_spark.operators.similarity import ivf_topk
+
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = vecs.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        vecs, queries, "vec_id", "embedding", k=3, n_cells=8, n_probe=8
+    ).select("query_id", "rnk", "neighbor_id")
+
+
 def q_lang_id_heuristic(spark, sf_dir):
     """Stop-word-ratio language gate (rebuild text-analysis op)."""
     toks = _tokens(spark, sf_dir)
@@ -945,6 +962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "simhash16": q_simhash16,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "lang_id_heuristic": q_lang_id_heuristic,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
@@ -1287,6 +1305,7 @@ from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
     kg_triples_oracle_sql,
 )
 
+ORACLES["embedding_topk_ivf"] = ORACLES["embedding_topk"]
 ORACLES["kg_triples"] = kg_triples_oracle_sql()
 ORACLES["kg_triples_blocked"] = kg_triples_oracle_sql()
 ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
