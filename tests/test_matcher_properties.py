@@ -121,3 +121,46 @@ def test_counter_tie_order_matches_first_seen():
         first_seen.setdefault(t, i)
     by_key = sorted(c, key=lambda t: (-c[t], first_seen[t]))
     assert by_most_common == by_key
+
+
+def _blocked_candidates(dictionary: RankedDictionary, norm: str):
+    """Emulate operators/linking.link_terms_blocked candidate generation:
+    per section in order, terms whose lead token (single-token) or lead
+    adjacent pair (multi-token) occurs in the doc, ranked by section then
+    most_common position — verbs UNfiltered (cnt-1 entries ride along
+    for the merged-count key, as in _dictionary_df)."""
+    doc = [noun_lemma(t) for t in norm.split()]
+    toks = set(doc)
+    pairs = {(doc[i], doc[i + 1]) for i in range(len(doc) - 1)}
+    out = []
+    for sec, section in enumerate(
+        (dictionary.phrases, dictionary.unigrams, dictionary.verbs)
+    ):
+        for term, cnt in section:  # already in most_common order
+            t = term.split(" ")
+            hit = (t[0], t[1]) in pairs if len(t) >= 2 else t[0] in toks
+            if hit:
+                out.append((sec, term, cnt))
+    return doc, out
+
+
+@given(corpus_strategy)
+@settings(max_examples=40, deadline=None)
+def test_candidate_replay_equals_full_matcher(corpus):
+    """The blocked-path kernel (assign_terms_from_candidates over
+    lead-token/pair-blocked candidates) is pointwise equal to the
+    broadcast matcher — the pure-Python property behind the Spark
+    differential in tests/test_linking_blocked.py."""
+    from knowledgegraphgenerator_spark.core.matching import (
+        assign_terms_from_candidates,
+    )
+
+    dictionary = _dictionary_for(corpus)
+    for raw in corpus:
+        norm = normalize_text(raw)
+        expected = assign_terms(norm, raw, dictionary)
+        doc, cands = _blocked_candidates(dictionary, norm)
+        got = assign_terms_from_candidates(
+            doc, raw, cands, dictionary.stop_tokens
+        )
+        assert got == expected, (raw, got, expected)

@@ -100,3 +100,33 @@ def test_triple_sink_partition_pruning(spark, tmp_path):
     full = spark.read.parquet(path)
     assert read.count() < full.count()
     assert full.count() == 200
+
+
+def test_blocked_linking_join_is_equi_not_theta(spark):
+    """link_terms_blocked's candidate join must stay an equi-join on the
+    block key (hash-partitionable, AQE skew-eligible) — a regression to
+    BroadcastNestedLoopJoin would re-introduce the O(docs x dict) scan
+    the blocking exists to avoid."""
+    from knowledgegraphgenerator_spark.core.stopwords import resolve_stop_words
+    from knowledgegraphgenerator_spark.operators import linking, phrases
+    from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50).select("doc_id", "text", "lang")
+    stops = resolve_stop_words("en", None)
+    normalized = normalize_corpus(docs)
+    frames = phrases.build_dictionary_frames(
+        normalized, stops, "doc_id", "norm_text"
+    )
+    out = linking.link_terms_blocked(normalized, frames, stops)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the REPLAY runs as one Arrow pass (the other MapInPandas nodes are
+    # the chunker feature pass feeding the dictionary branches)
+    replay_nodes = [
+        ln for ln in plan.splitlines()
+        if "MapInPandas" in ln and "cands" in ln
+    ]
+    assert len(replay_nodes) == 1, plan
