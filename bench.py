@@ -55,6 +55,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "rake_keywords",
     "term_cooccurrence",
+    "salted_term_stats",
     "lang_id_heuristic",
     "dedup_exact",
     "quality_score",

@@ -893,6 +893,32 @@ def q_term_cooccurrence(spark, sf_dir):
     )
 
 
+def q_salted_term_stats(spark, sf_dir):
+    """The skew machinery under the driver gate: salted two-phase
+    aggregation (operators/skew.py — north_star 'salted groupBy') is
+    EXACT for algebraic aggregates, so plain GROUP BY SQL is its oracle.
+    Output: per-token corpus count + distinct-doc count for tokens with
+    cnt > 50 (the Zipf head — the keys salting exists for)."""
+    from knowledgegraphgenerator_spark.operators.skew import salted_two_phase
+
+    toks = _tokens(spark, sf_dir)
+    out = salted_two_phase(
+        toks.select("term", "doc_id"),
+        key_cols=["term"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_set("doc_id").alias("_docs"),
+        ],
+        merge_aggs=[
+            F.sum("_n").alias("cnt"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("_docs"))))
+            .cast("long").alias("n_docs"),
+        ],
+        n_salts=16,
+    )
+    return out.where(F.col("cnt") > 50).select("term", "cnt", "n_docs")
+
+
 def q_parts_rollup(spark, sf_dir):
     """Grouping-sets family (SURVEY.md §2.4 'absent in reference,
     built-in if needed'): ROLLUP over (brand, type) with subtotal rows."""
@@ -971,6 +997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rake_keywords": q_rake_keywords,
     "term_cooccurrence": q_term_cooccurrence,
     "token_stats_bpe": q_token_stats_bpe,
+    "salted_term_stats": q_salted_term_stats,
     "parts_rollup": q_parts_rollup,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -1167,6 +1194,11 @@ ORACLES: dict[str, str] = {
         f"{FP_MOD} * 31 + t2) % {FP_MOD} * 31 + t3) % {FP_MOD})"
         " AS BIGINT) AS n_shingles "
         "FROM grams WHERE t3 IS NOT NULL GROUP BY doc_id"
+    ),
+    "salted_term_stats": (
+        f"SELECT term, CAST(count(*) AS BIGINT) AS cnt, "
+        f"CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        f"FROM ({_TOKENS_SQL}) GROUP BY term HAVING count(*) > 50"
     ),
     "parts_rollup": (
         "SELECT coalesce(p_brand, '(all)') AS brand,"
