@@ -129,6 +129,38 @@ def _find_spans(doc: list[str], term_toks: list[str]) -> list[tuple[int, int]]:
     return spans
 
 
+def _token_index(doc: list[str]) -> dict[str, list[int]]:
+    """token -> ascending positions; rebuilt only after a mask mutates
+    the doc (matches are rare relative to candidates)."""
+    idx: dict[str, list[int]] = {}
+    for i, t in enumerate(doc):
+        idx.setdefault(t, []).append(i)
+    return idx
+
+
+def _find_spans_indexed(
+    doc: list[str],
+    idx: dict[str, list[int]],
+    term_toks: list[str],
+) -> list[tuple[int, int]]:
+    """_find_spans over a first-token position index: identical output
+    (same ascending scan, same non-overlap skip), O(occurrences of
+    term_toks[0]) instead of O(|doc|) per candidate — the matcher's hot
+    loop spends its time on candidates that FAIL, and they fail here in
+    a handful of slice compares instead of a full-document scan."""
+    m = len(term_toks)
+    limit = len(doc) - m
+    spans: list[tuple[int, int]] = []
+    next_free = 0
+    for i in idx.get(term_toks[0], ()):
+        if i < next_free or i > limit:
+            continue
+        if doc[i:i + m] == term_toks:
+            spans.append((i, i + m))
+            next_free = i + m
+    return spans
+
+
 def _mask_spans(doc: list[str], spans: list[tuple[int, int]]) -> list[str]:
     """Replace each span with ONE mask token (re.sub of the span text with
     '~~~~' collapses it to one whitespace-delimited token)."""
@@ -186,6 +218,7 @@ def assign_terms_from_candidates(
     overwrite priority phrases <- unigrams <- verbs, NGramStrategy.py:52-55).
     """
     doc = doc_tokens
+    idx = _token_index(doc)
     terms: list[str] = []
     tag = ""
     merged: dict[str, int] = {}
@@ -201,11 +234,12 @@ def assign_terms_from_candidates(
             if term in stop_tokens:
                 continue
             toks = term.split(" ")
-            spans = _find_spans(doc, toks)
+            spans = _find_spans_indexed(doc, idx, toks)
             if spans:
                 doc = _mask_spans(doc, spans)
+                idx = _token_index(doc)
                 terms.append(term)
-        elif _find_spans(doc, term.split(" ")):
+        elif _find_spans_indexed(doc, idx, term.split(" ")):
             tag = term  # last ranked match wins (NGramStrategy.py:92-100)
 
     if not (terms or tag):
@@ -225,6 +259,7 @@ def assign_terms(
     """-> (terms ending in BOT_NAME, tags list of 0/1 elements)."""
     doc = [noun_lemma(t) for t in tokenize(normalized_ques)]
     orig_doc = doc
+    idx = _token_index(doc)
     stop = dictionary.stop_tokens
     terms: list[str] = []
     tag = ""
@@ -235,15 +270,16 @@ def assign_terms(
                 break
             if term in stop:
                 continue
-            spans = _find_spans(doc, toks)
+            spans = _find_spans_indexed(doc, idx, toks)
             if spans:
                 doc = _mask_spans(doc, spans)
+                idx = _token_index(doc)
                 terms.append(term)
 
     for _pos, toks, cnt, term in dictionary.candidates("verbs", orig_doc):
         if cnt == 1:
             break
-        if _find_spans(doc, toks):
+        if _find_spans_indexed(doc, idx, toks):
             tag = term  # last ranked match wins (NGramStrategy.py:92-100)
 
     if not (terms or tag):

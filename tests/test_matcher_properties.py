@@ -164,3 +164,28 @@ def test_candidate_replay_equals_full_matcher(corpus):
             doc, raw, cands, dictionary.stop_tokens
         )
         assert got == expected, (raw, got, expected)
+
+
+@given(corpus_strategy)
+@settings(max_examples=60, deadline=None)
+def test_indexed_spans_equal_linear_spans(corpus):
+    """_find_spans_indexed == _find_spans for every (doc, term) pair the
+    dictionaries produce — the indexed fast path must preserve the exact
+    non-overlapping left-to-right re.sub semantics."""
+    from knowledgegraphgenerator_spark.core.matching import (
+        _find_spans,
+        _find_spans_indexed,
+        _token_index,
+    )
+
+    dictionary = _dictionary_for(corpus)
+    for raw in corpus:
+        doc = [noun_lemma(t) for t in normalize_text(raw).split()]
+        idx = _token_index(doc)
+        for section in (dictionary.phrases, dictionary.unigrams,
+                        dictionary.verbs):
+            for term, _cnt in section:
+                toks = term.split(" ")
+                assert _find_spans_indexed(doc, idx, toks) == _find_spans(
+                    doc, toks
+                ), (doc, toks)
