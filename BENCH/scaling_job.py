@@ -27,6 +27,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--corpus", required=True)
+    ap.add_argument("--linking", default="auto",
+                    choices=["auto", "broadcast", "blocked"])
     args = ap.parse_args()
 
     spark = get_spark(
@@ -43,10 +45,12 @@ def main() -> None:
     # python worker + codegen path is hot before the timed run (limit()
     # would collapse to one partition and warm one worker)
     warm = corpus.sample(0.02, seed=1).repartition(args.cpus)
-    run_pipeline(warm, text_col="text", id_col="doc_id").triples.count()
+    run_pipeline(warm, text_col="text", id_col="doc_id",
+                 linking=args.linking).triples.count()
 
     t0 = time.perf_counter()
-    result = run_pipeline(corpus, text_col="text", id_col="doc_id")
+    result = run_pipeline(corpus, text_col="text", id_col="doc_id",
+                          linking=args.linking)
     n_triples = result.triples.count()
     sec = time.perf_counter() - t0
 
@@ -54,6 +58,7 @@ def main() -> None:
         json.dumps(
             {
                 "cpus": args.cpus,
+                "linking": args.linking,
                 "sec": round(sec, 3),
                 "docs": n_docs,
                 "docs_per_sec": round(n_docs / sec, 1),
