@@ -476,6 +476,82 @@ SELECT DISTINCT subj, pred, obj FROM (
 )"""
 
 
+def kg_path_coverage_oracle_sql(threshold: int = 50) -> str:
+    """Corpus-scale D1 oracle: per-doc path coverage over the full
+    pipeline ontology (operators/analyzer.py:doc_path_coverage).
+    Float order matters: coverage = ceil((m / path_len) * 100) — the
+    same IEEE expression order as Python's math.ceil((m/len)*100)."""
+    bot = _q(BOT_NAME)
+    lem = _noun_lemma_sql("tk")
+    return f"""WITH RECURSIVE {_onto_ctes()},
+cov_el0 AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(terms, x -> x <> {bot})) AS el,
+         0 AS is_tag
+  FROM onto
+  UNION ALL
+  SELECT doc_id, unnest(tags), 1 FROM onto
+),
+cov_el_toks AS MATERIALIZED (
+  SELECT doc_id, el, is_tag,
+         unnest(generate_series(1, len(string_split(s, ' ')))) AS p,
+         unnest(string_split(s, ' ')) AS tk
+  FROM (SELECT doc_id, el, is_tag, {_treebank_sql("el")} AS s FROM cov_el0)
+),
+cov_el_lem AS MATERIALIZED (
+  SELECT doc_id, el, is_tag,
+         coalesce(string_agg({lem}, ' ' ORDER BY p), '') AS lel
+  FROM cov_el_toks WHERE tk <> ''
+  GROUP BY doc_id, el, is_tag
+),
+-- total_path = names (unfiltered) ∪ tags (''/' ' dropped post-lemma)
+cov_set AS MATERIALIZED (
+  SELECT DISTINCT doc_id, lel FROM cov_el_lem
+  WHERE is_tag = 0 OR lel NOT IN ('', ' ')
+),
+plen AS MATERIALIZED (
+  SELECT doc_id, count(*) AS path_len,
+         sum(CASE WHEN lel <> '' THEN 1 ELSE 0 END) AS content_cnt
+  FROM cov_set GROUP BY doc_id
+),
+-- question grams: unigrams (= the lemmatized match-doc tokens) + 2/3/4
+cov_grams AS MATERIALIZED (
+  SELECT doc_id, nlem AS gram FROM ctoks
+  UNION
+  SELECT a.doc_id, a.nlem || ' ' || b.nlem
+  FROM ctoks a JOIN ctoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  UNION
+  SELECT a.doc_id, a.nlem || ' ' || b.nlem || ' ' || c.nlem
+  FROM ctoks a
+  JOIN ctoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN ctoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  UNION
+  SELECT a.doc_id, a.nlem || ' ' || b.nlem || ' ' || c.nlem || ' ' || d.nlem
+  FROM ctoks a
+  JOIN ctoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN ctoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN ctoks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+),
+cov_matched AS MATERIALIZED (
+  SELECT s.doc_id, count(*) AS m
+  FROM cov_set s JOIN cov_grams g
+    ON g.doc_id = s.doc_id AND g.gram = s.lel
+  WHERE s.lel <> ''
+  GROUP BY s.doc_id
+)
+SELECT o.doc_id,
+       CASE WHEN p.content_cnt IS NULL OR p.content_cnt = 0 THEN 100
+            ELSE CAST(ceil((CAST(coalesce(m.m, 0) AS DOUBLE)
+                            / p.path_len) * 100) AS BIGINT) END
+         AS coverage_pct,
+       CASE WHEN p.content_cnt IS NULL OR p.content_cnt = 0 THEN 0
+            WHEN CAST(ceil((CAST(coalesce(m.m, 0) AS DOUBLE)
+                            / p.path_len) * 100) AS BIGINT)
+                 < {threshold} THEN 1 ELSE 0 END AS flagged
+FROM (SELECT DISTINCT doc_id FROM onto) o
+LEFT JOIN plen p USING (doc_id)
+LEFT JOIN cov_matched m ON m.doc_id = o.doc_id"""
+
+
 def kg_ontology_oracle_sql() -> str:
     """Per-doc ontology rows, arrays flattened with '|' exactly like the
     Spark query's concat_ws."""
