@@ -552,6 +552,15 @@ LEFT JOIN plen p USING (doc_id)
 LEFT JOIN cov_matched m ON m.doc_id = o.doc_id"""
 
 
+def kg_docs_at_root_oracle_sql() -> str:
+    """Corpus-scale D2 oracle: docs whose final ontology row is bare
+    root with no tags (ontology_analyzer.py:144-158)."""
+    bot = _q(BOT_NAME)
+    return f"""WITH RECURSIVE {_onto_ctes()}
+SELECT doc_id FROM onto
+WHERE len(terms) = 1 AND terms[1] = {bot} AND len(tags) = 0"""
+
+
 def kg_ontology_oracle_sql() -> str:
     """Per-doc ontology rows, arrays flattened with '|' exactly like the
     Spark query's concat_ws."""

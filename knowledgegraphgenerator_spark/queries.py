@@ -975,6 +975,23 @@ def q_doc_path_coverage(spark, sf_dir):
     return doc_path_coverage(onto)
 
 
+def q_docs_at_root(spark, sf_dir):
+    """Corpus-scale D2 (ontology_analyzer.py:144-158): documents
+    attached directly to the synthetic root with no tags — pure
+    DataFrame filter over the pipeline ontology, gated by the
+    full-pipeline oracle chain."""
+    from knowledgegraphgenerator_spark.config import BOT_NAME
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    onto = run_pipeline(docs).ontology
+    return onto.where(
+        (F.size("terms") == 1)
+        & (F.element_at("terms", 1) == BOT_NAME)
+        & (F.size("tags") == 0)
+    ).select("doc_id")
+
+
 def q_kg_ontology(spark, sf_dir):
     """KG ontology rows (terms/tags per doc), arrays flattened to strings
     for a stable driver-side schema (rows-only check)."""
@@ -1027,6 +1044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_blocked": q_kg_triples_blocked,
     "kg_ontology": q_kg_ontology,
     "doc_path_coverage": q_doc_path_coverage,
+    "docs_at_root": q_docs_at_root,
 }
 
 # Bench-only callables (timed by bench.py, not driver-gated): the raw
@@ -1350,6 +1368,7 @@ ORACLES: dict[str, str] = {
 # DuckDB SQL, generated from the same pinned spec tables the engine uses —
 # rows-only in round 1, three-check gated from round 2 (oracles_kg.py).
 from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
+    kg_docs_at_root_oracle_sql,
     kg_ontology_oracle_sql,
     kg_path_coverage_oracle_sql,
     kg_triples_oracle_sql,
@@ -1360,3 +1379,4 @@ ORACLES["kg_triples"] = kg_triples_oracle_sql()
 ORACLES["kg_triples_blocked"] = kg_triples_oracle_sql()
 ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
 ORACLES["doc_path_coverage"] = kg_path_coverage_oracle_sql()
+ORACLES["docs_at_root"] = kg_docs_at_root_oracle_sql()

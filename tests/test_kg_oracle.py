@@ -85,3 +85,27 @@ def test_oracle_handles_fallback_and_empty_docs():
     assert got[1] == ("Auto Ontology", "")
     # 'what', 'is', 'this' are all stop words -> zero content words, no tag
     assert got[2] == ("Auto Ontology", "")
+
+    # D2 corpus-scale twin: root-only docs WITHOUT tags are flagged
+    # (ontology_analyzer.py:144-158) — doc 0 has a tag, docs 1/2 do not
+    from knowledgegraphgenerator_spark.oracles_kg import (
+        kg_docs_at_root_oracle_sql,
+    )
+
+    at_root = sorted(
+        r[0] for r in con.sql(kg_docs_at_root_oracle_sql()).fetchall()
+    )
+    assert at_root == [1, 2]
+
+    # D1 corpus-scale twin: zero-content docs are unflagged at 100
+    from knowledgegraphgenerator_spark.oracles_kg import (
+        kg_path_coverage_oracle_sql,
+    )
+
+    cov = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(kg_path_coverage_oracle_sql()).fetchall()
+    }
+    assert cov[1] == (100, 0) and cov[2] == (100, 0)
+    # doc 0: content = {'billing'}; 'billing' IS a question unigram -> 100
+    assert cov[0] == (100, 0)
