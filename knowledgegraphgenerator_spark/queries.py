@@ -959,6 +959,22 @@ def q_kg_triples_blocked(spark, sf_dir):
     return run_pipeline(docs, linking="blocked").triples
 
 
+def q_kg_triples_auto(spark, sf_dir):
+    """Flagship via linking='auto' with a deliberately tiny
+    broadcast_term_limit: the auto probe (pipeline.py — collect
+    limit+1 dictionary rows in ONE job) must observe the overflow and
+    switch itself to the token-block path. This gates the THRESHOLD
+    SWITCH end-to-end, not just the two endpoint strategies (VERDICT r2
+    'Next round' #2): the result must still equal kg_triples
+    value-for-value under the same full-pipeline DuckDB oracle."""
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return run_pipeline(
+        docs, linking="auto", broadcast_term_limit=8
+    ).triples
+
+
 def q_doc_path_coverage(spark, sf_dir):
     """Corpus-scale D1 diagnostics (analyzer.doc_path_coverage) over the
     full pipeline ontology — removes the 'analyzer is fenced to
@@ -1042,6 +1058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_pairs_scale": q_neardup_pairs_scale,
     "kg_triples": q_kg_triples,
     "kg_triples_blocked": q_kg_triples_blocked,
+    "kg_triples_auto": q_kg_triples_auto,
     "kg_ontology": q_kg_ontology,
     "doc_path_coverage": q_doc_path_coverage,
     "docs_at_root": q_docs_at_root,
@@ -1377,6 +1394,7 @@ from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
 ORACLES["embedding_topk_ivf"] = ORACLES["embedding_topk"]
 ORACLES["kg_triples"] = kg_triples_oracle_sql()
 ORACLES["kg_triples_blocked"] = kg_triples_oracle_sql()
+ORACLES["kg_triples_auto"] = kg_triples_oracle_sql()
 ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
 ORACLES["doc_path_coverage"] = kg_path_coverage_oracle_sql()
 ORACLES["docs_at_root"] = kg_docs_at_root_oracle_sql()
