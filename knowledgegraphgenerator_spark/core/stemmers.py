@@ -14,10 +14,18 @@ highest-traffic languages behind it:
     pinned-spec scope, like the chunker's closed lexicon);
   * de additionally restores the original capitalization the way the
     reference does (Lemmatize.py:155-162);
+  * ru / sv — Snowball Russian/Swedish cores (RV/R1/R2-gated suffix
+    classes; Lemmatize.py:169-172);
+  * nl — Snowball Dutch core + the reference's compound-word-map split
+    (dutch_lemmatizer, Lemmatize.py:127-138);
+  * ar — ISRI-style normalization + length-guarded affix strip
+    (Lemmatize.py:164-165);
   * zh — the reference's char-split tokenizer (:111-124), verbatim
     semantics: CJK code points become single tokens, runs of non-CJK
     text are whitespace-split;
   * ko / fi / pl / uk — plain tokenization (:184-191).
+  Still absent: ja (tinysegmenter), id (Sastrawi), kk — each needs a
+  third-party model/dataset that is not public-algorithm re-derivable.
 
 Everything is pure Python shipped to executors inside Arrow UDF closures;
 no model files, no per-row JVM crossings.
@@ -202,6 +210,290 @@ def chinese_char_tokenize(sentence: str) -> list[str]:
     return [t for t in tokens if t != ""]
 
 
+# ---------------------------------------------------------------------
+# ru / sv / nl / ar — the N3 long tail (VERDICT r2 'Next round' #5),
+# mirroring the reference branches Lemmatize.py:169-177 (stem_ru,
+# stem_sv), :127-138+167 (dutch compound map + stem_nl), :164-165
+# (ISRI ar). Same policy as above: the public Snowball/ISRI algorithms
+# reduced to their R-region-gated affix-removal cores.
+# ---------------------------------------------------------------------
+
+_RU_VOWELS = set("аеиоуыэюя")
+# Snowball Russian suffix classes (longest-first matching inside RV).
+_RU_PGERUND_1 = ("вшись", "вши", "в")          # require preceding а/я
+_RU_PGERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_REFLEX = ("ся", "сь")
+_RU_ADJ = ("ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые",
+           "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их",
+           "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PART_1 = ("ем", "нн", "вш", "ющ", "щ")     # require preceding а/я
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = ("ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло",
+              "но", "ет", "ют", "ны", "ть", "й", "л", "н")  # after а/я
+_RU_VERB_2 = ("ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+              "ило", "ыло", "ено", "ует", "уют", "ены", "ить", "ыть",
+              "ишь", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят",
+              "ит", "ыт", "ую", "ю")
+_RU_NOUN = ("иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев",
+            "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям",
+            "ем", "ам", "ом", "ах", "ях", "ию", "ью", "ия", "ья",
+            "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я")
+
+
+def _ru_rv(word: str) -> int:
+    """RV: position after the first vowel."""
+    for i, ch in enumerate(word):
+        if ch in _RU_VOWELS:
+            return i + 1
+    return len(word)
+
+
+def _ru_strip_group(word: str, rv: int, sufs: tuple[str, ...],
+                    need_a_ya: bool) -> str | None:
+    for suf in sorted(sufs, key=len, reverse=True):
+        if not word.endswith(suf) or len(word) - len(suf) < rv:
+            continue
+        if need_a_ya:
+            pre = len(word) - len(suf) - 1
+            if pre < 0 or word[pre] not in "ая":
+                continue
+        return word[: -len(suf)]
+    return None
+
+
+def stem_ru(word: str) -> str:
+    """Snowball Russian, R-gated core: perfective gerund | (reflexive +
+    adjectival/verb/noun), then и-removal, derivational ость/ост in R2,
+    final ь / superlative / нн→н cleanup."""
+    w = word.lower().replace("ё", "е")
+    if len(w) <= 2:
+        return w
+    rv = _ru_rv(w)
+    r1 = _r_region(w, _RU_VOWELS)
+    r2 = _r_region(w, _RU_VOWELS, r1)
+
+    out = _ru_strip_group(w, rv, _RU_PGERUND_2, False)
+    if out is None:
+        out = _ru_strip_group(w, rv, _RU_PGERUND_1, True)
+    if out is None:
+        out = w
+        ref = _ru_strip_group(out, rv, _RU_REFLEX, False)
+        if ref is not None:
+            out = ref
+        adj = _ru_strip_group(out, rv, _RU_ADJ, False)
+        if adj is not None:
+            out = adj
+            part = _ru_strip_group(out, rv, _RU_PART_2, False)
+            if part is None:
+                part = _ru_strip_group(out, rv, _RU_PART_1, True)
+            if part is not None:
+                out = part
+        else:
+            verb = _ru_strip_group(out, rv, _RU_VERB_2, False)
+            if verb is None:
+                verb = _ru_strip_group(out, rv, _RU_VERB_1, True)
+            if verb is not None:
+                out = verb
+            else:
+                noun = _ru_strip_group(out, rv, _RU_NOUN, False)
+                if noun is not None:
+                    out = noun
+    if out.endswith("и") and len(out) - 1 >= rv:
+        out = out[:-1]
+    for suf in ("ость", "ост"):
+        if out.endswith(suf) and len(out) - len(suf) >= r2:
+            out = out[: -len(suf)]
+            break
+    if out.endswith("ь") and len(out) - 1 >= rv:
+        out = out[:-1]
+    else:
+        for suf in ("ейше", "ейш"):
+            if out.endswith(suf) and len(out) - len(suf) >= rv:
+                out = out[: -len(suf)]
+                break
+        if out.endswith("нн") and len(out) - 1 >= rv:
+            out = out[:-1]
+    return out
+
+
+_SV_VOWELS = set("aeiouyäåö")
+_SV_STEP1 = ("heterna", "hetens", "ornas", "andes", "arnas", "ernas",
+             "andet", "anden", "heten", "heter", "arens", "erns",
+             "aste", "arna", "erna", "orna", "ande", "arne", "aren",
+             "ades", "ade", "are", "ern", "ens", "het", "ast", "ad",
+             "en", "ar", "er", "or", "as", "es", "at", "a", "e")
+_SV_S_ENDING = set("bcdfghjklmnoprtvy")
+_SV_STEP3 = ("lig", "els", "ig")
+
+
+def stem_sv(word: str) -> str:
+    """Snowball Swedish: R1 (min pos 3) suffix strip, s-ending rule,
+    double-consonant trim, step-3 derivational endings."""
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+    r1 = max(_r_region(w, _SV_VOWELS), 3)
+    out = _strip_longest(w, r1, _SV_STEP1)
+    if out == w and w.endswith("s") and len(w) - 1 >= r1 \
+            and len(w) >= 2 and w[-2] in _SV_S_ENDING:
+        out = w[:-1]
+    for pair in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if out.endswith(pair) and len(out) - 1 >= r1:
+            out = out[:-1]
+            break
+    if out.endswith("löst"):
+        out = out[:-1]
+    elif out.endswith("fullt"):
+        out = out[:-1]
+    else:
+        out = _strip_longest(out, r1, _SV_STEP3)
+    return out
+
+
+_NL_VOWELS = set("aeiouyè")
+
+
+def _nl_undouble(w: str) -> str:
+    for pair in ("kk", "dd", "tt"):
+        if w.endswith(pair):
+            return w[:-1]
+    return w
+
+
+def stem_nl(word: str) -> str:
+    """Snowball Dutch core: heden→heid, en(e)/s(e) strip with valid-
+    ending guards + undoubling, e-strip, heid / derivational endings in
+    R2 (end/ing/ig/lijk/baar)."""
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+    r1 = max(_r_region(w, _NL_VOWELS), 3)
+    r2 = _r_region(w, _NL_VOWELS, _r_region(w, _NL_VOWELS))
+    e_removed = False
+    # step 1
+    if w.endswith("heden") and len(w) - 5 >= r1:
+        w = w[:-5] + "heid"
+    else:
+        for suf in ("ene", "en"):
+            if (w.endswith(suf) and len(w) - len(suf) >= r1
+                    and len(w) > len(suf)
+                    and w[-len(suf) - 1] not in _NL_VOWELS
+                    and not w.endswith("gem" + suf)):
+                w = _nl_undouble(w[: -len(suf)])
+                break
+        else:
+            for suf in ("se", "s"):
+                if (w.endswith(suf) and len(w) - len(suf) >= r1
+                        and len(w) > len(suf)
+                        and w[-len(suf) - 1] not in _NL_VOWELS | {"j"}):
+                    w = w[: -len(suf)]
+                    break
+    # step 2: drop a final e after a consonant
+    if w.endswith("e") and len(w) - 1 >= r1 \
+            and len(w) >= 2 and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+    # step 3a: heid
+    if w.endswith("heid") and len(w) - 4 >= r2 \
+            and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if (w.endswith("en") and len(w) - 2 >= r1
+                and len(w) > 2 and w[-3] not in _NL_VOWELS):
+            w = _nl_undouble(w[:-2])
+    # step 3b: derivational
+    for suf in ("end", "ing"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[: -len(suf)]
+            if w.endswith("ig") and len(w) - 2 >= r2 \
+                    and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+            break
+    else:
+        if w.endswith("ig") and len(w) - 2 >= r2 \
+                and (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+        elif w.endswith("lijk") and len(w) - 4 >= r2:
+            w = w[:-4]
+            if w.endswith("e") and len(w) - 1 >= r1 \
+                    and len(w) >= 2 and w[-2] not in _NL_VOWELS:
+                w = _nl_undouble(w[:-1])
+        elif w.endswith("baar") and len(w) - 4 >= r2:
+            w = w[:-4]
+        elif w.endswith("bar") and len(w) - 3 >= r2 and e_removed:
+            w = w[:-3]
+    return w
+
+
+def dutch_lemmatize(sentence: str,
+                    compound_map: dict[str, str] | None = None) -> list[str]:
+    """The reference's dutch_lemmatizer (Lemmatize.py:127-138): known
+    compounds split on '+'/'_' via the provided map, everything else
+    Snowball-stemmed."""
+    from knowledgegraphgenerator_spark.core.textnorm import tokenize
+
+    out: list[str] = []
+    cmap = compound_map or {}
+    for word in tokenize(sentence):
+        if word in cmap:
+            parts = (
+                cmap[word].replace("+", "||").replace("_", "||")
+                .replace(" ", "").split("||")
+            )
+            out.extend(p for p in parts if p)
+        else:
+            out.append(stem_nl(word))
+    return out
+
+
+_AR_DIACRITICS = set("ًٌٍَُِّْ")
+_AR_PRE3 = ("كال", "بال", "ولل", "وال")
+_AR_PRE2 = ("ال", "لل")
+_AR_SUF3 = ("تمل", "همل", "تان", "تين", "كمل")
+_AR_SUF2 = ("ون", "ات", "ان", "ين", "تن", "كم", "هن", "نا", "يا",
+            "ها", "تم", "كن", "ني", "وا", "ما", "هم")
+
+
+def stem_ar(word: str) -> str:
+    """ISRI-style Arabic root strip, reduced to its normalization +
+    length-guarded affix-removal core (the pattern-template root
+    extraction of full ISRI is out of pinned-spec scope): strip
+    diacritics/tatweel, normalize hamza, then 3/2-char prefixes and
+    3/2/1-char suffixes while ≥3 letters remain."""
+    w = "".join(ch for ch in word if ch not in _AR_DIACRITICS)
+    w = w.replace("ـ", "")  # tatweel
+    for h in "أإآ":
+        w = w.replace(h, "ا")
+    for pre in _AR_PRE3:
+        if w.startswith(pre) and len(w) - 3 >= 3:
+            w = w[3:]
+            break
+    else:
+        for pre in _AR_PRE2:
+            if w.startswith(pre) and len(w) - 2 >= 3:
+                w = w[2:]
+                break
+        else:
+            if w.startswith("و") and len(w) - 1 >= 3:
+                w = w[1:]
+    for suf in _AR_SUF3:
+        if w.endswith(suf) and len(w) - 3 >= 3:
+            w = w[:-3]
+            break
+    else:
+        for suf in _AR_SUF2:
+            if w.endswith(suf) and len(w) - 2 >= 3:
+                w = w[:-2]
+                break
+        else:
+            for suf in "ةهيكتان":
+                if w.endswith(suf) and len(w) - 1 >= 3:
+                    w = w[:-1]
+                    break
+    return w
+
+
 def lemmatize_for_lang(sentence: str, lang: str) -> list[str]:
     """N3 dispatch (Lemmatize.py:140-194): language -> token lemmas.
     en falls through to the WordNet-style noun lemmatizer; unknown
@@ -211,12 +503,17 @@ def lemmatize_for_lang(sentence: str, lang: str) -> list[str]:
 
     if lang in ("zh", "zh_cn", "zh_tw", "chinese"):
         return chinese_char_tokenize(sentence)
+    if lang in ("nl", "dutch"):
+        return dutch_lemmatize(sentence)
     stem = {
         "es": stem_es, "spanish": stem_es,
         "fr": stem_fr, "french": stem_fr,
         "de": stem_de, "german": stem_de,
         "pt": stem_pt, "portugese brazalian": stem_pt,
         "it": stem_it, "italian": stem_it,
+        "ru": stem_ru, "russian": stem_ru,
+        "sv": stem_sv, "swedish": stem_sv,
+        "ar": stem_ar, "arabic": stem_ar,
     }.get(lang)
     if stem is not None:
         return [stem(t) for t in tokenize(sentence)]

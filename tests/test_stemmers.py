@@ -4,12 +4,17 @@ from __future__ import annotations
 
 from knowledgegraphgenerator_spark.core.stemmers import (
     chinese_char_tokenize,
+    dutch_lemmatize,
     lemmatize_for_lang,
+    stem_ar,
     stem_de,
     stem_es,
     stem_fr,
     stem_it,
+    stem_nl,
     stem_pt,
+    stem_ru,
+    stem_sv,
 )
 
 
@@ -40,6 +45,42 @@ def test_portuguese_italian():
     assert stem_pt("falamos") == stem_pt("falar")
     assert stem_it("pronunciazioni")[:8] == stem_it("pronunciazione")[:8]
     assert stem_it("parlare") == stem_it("parlano")
+
+
+def test_russian_inflection_conflates():
+    # noun case endings, adjective endings, verb forms (Lemmatize.py:169-170)
+    assert stem_ru("книгами") == stem_ru("книга") == stem_ru("книги") == "книг"
+    assert stem_ru("красивые") == stem_ru("красивый") == "красив"
+    assert stem_ru("делать") == stem_ru("делала") == stem_ru("делавшись")
+    assert stem_ru("говорить") == stem_ru("говорила") == "говор"
+    assert stem_ru("организациями") == stem_ru("организация")
+
+
+def test_swedish_inflection_conflates():
+    # definite/plural endings + derivational els (Lemmatize.py:171-172)
+    assert stem_sv("flickorna") == stem_sv("flicka") == "flick"
+    assert stem_sv("betydelsen") == stem_sv("betydelse") == "betyd"
+    assert stem_sv("hoppade") == stem_sv("hoppar") == "hopp"
+    assert stem_sv("läsningen") == stem_sv("läsning")
+
+
+def test_dutch_stem_and_compound_map():
+    # heden→heid, en-strip, lijk-strip (Lemmatize.py:127-138, 167)
+    assert stem_nl("snelheden") == stem_nl("snelheid") == "snelheid"
+    assert stem_nl("lichamen") == stem_nl("lichamelijk") == "licham"
+    assert stem_nl("appels") == stem_nl("appel") == "appel"
+    # known compounds split on +/_ via the map, as in dutch_lemmatizer
+    assert dutch_lemmatize("appelboom is mooi",
+                           {"appelboom": "appel+boom"}) == [
+        "appel", "boom", "is", "mooi"
+    ]
+
+
+def test_arabic_affix_strip_conflates():
+    # definite article + possessive strip (Lemmatize.py:164-165, ISRI)
+    assert stem_ar("المدرسة") == stem_ar("مدرسة") == "مدرس"
+    assert stem_ar("والكتاب") == stem_ar("الكتاب") == stem_ar("كتابهم")
+    assert stem_ar("مكتبات") == "مكتب"
 
 
 def test_chinese_char_tokenize_reference_semantics():
