@@ -136,6 +136,7 @@ def run_pipeline(
     altq: DataFrame | None = None,
     linking: str = "auto",
     broadcast_term_limit: int = 2_000_000,
+    blocked_prune: bool = True,
 ) -> KGResult:
     """``linking``: 'broadcast' collects the ranked dictionary to the
     driver and broadcasts it (zero linking shuffles — right while the
@@ -187,6 +188,7 @@ def run_pipeline(
         onto = linking_ops.link_terms_blocked(
             normalized, frames, stops,
             id_col="doc_id", raw_col="question", norm_col="norm_text",
+            prune_doc_keys=blocked_prune,
         )
         if probe_rows is not None:
             sizes: dict[str, int] = {}
