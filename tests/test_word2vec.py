@@ -57,6 +57,28 @@ def test_train_and_topk(answers):
     assert exact_pairs == loop_pairs
 
 
+def test_topk_auto_default_switch(answers):
+    """topk_synonyms_auto routes tiny vocabularies to the findSynonyms
+    loop and large ones to the distributed exact twin, with identical
+    (word, synonym) rows and preserved vocab casing either way
+    (VERDICT r2 'Next round' #7)."""
+    corpus = w2v.dedup_answers(answers, "text", "faq_idx")
+    model = w2v.train_synonym_model(corpus, max_iter=5)
+    spark = answers.sparkSession
+    vocab = ["NEFT", "account", "missingword"]  # mixed case on purpose
+    via_loop = w2v.topk_synonyms_auto(model, spark, vocab,
+                                      k=3, driver_loop_limit=10)
+    via_exact = w2v.topk_synonyms_auto(model, spark, vocab,
+                                       k=3, driver_loop_limit=0)
+    assert {(w, s) for w, s, _ in via_loop} == \
+        {(w, s) for w, s, _ in via_exact}
+    # casing of the caller's vocabulary survives the distributed path
+    assert {w for w, _, _ in via_exact} <= {"NEFT", "account"}
+    sims_loop = {(w, s): sim for w, s, sim in via_loop}
+    for w, s, sim in via_exact:
+        assert abs(sims_loop[(w, s)] - sim) < 1e-5
+
+
 def test_write_synonyms_csv_roundtrip(tmp_path):
     rows = [("neft", "rtgs", 0.9), ("neft", "imps", 0.8),
             ("card", "debit", 0.7)]
