@@ -134,6 +134,26 @@ def main() -> None:
                 "triples": n_triples,
                 "docs_per_sec": round(n_docs / kg_sec, 1),
                 "triples_per_sec": round(n_triples / kg_sec, 1),
+                # headline basis, pinned so round-over-round numbers are
+                # comparable without forensics (VERDICT r2 'What's
+                # wrong' #4)
+                "basis": {
+                    "value": "sum of per-query timings below",
+                    "docs_per_sec": (
+                        "n_docs / wall of ONE standalone kg_triples "
+                        "pipeline run (count action) at sf_dir, timed "
+                        "after the suite"
+                    ),
+                    "protocol": (
+                        "one sf0.001 warmup; queries <2s report "
+                        "median-of-3, others a single run"
+                    ),
+                    "semantics_rev": (
+                        "r2 extraction semantics (reference-verbatim "
+                        "stop sets + Treebank splits); triple counts "
+                        "comparable to BENCH_r02, not BENCH_r01"
+                    ),
+                },
             }
         )
     )
