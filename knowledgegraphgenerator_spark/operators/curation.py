@@ -1,0 +1,207 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The web-scale curation steps that sit between raw crawl text and a
+training shard, each pure DataFrame SQL (JVM-side, whole-stage codegen,
+no Python in the hot path) and each value-gated by a DuckDB oracle in
+queries.py:
+
+  * scrub_pii           sequential email -> IPv4 -> phone redaction with
+                        per-class counts (regexp_replace / regexp_count)
+  * repetition_signals  Gopher-style repetition metrics (Rae et al. 2021,
+                        "Scaling Language Models", Table A1) in their
+                        token-fraction form: top-unigram fraction,
+                        top-bigram fraction, duplicate 5-gram occurrence
+                        mass — integer-only so cross-engine hashing is
+                        exact
+  * cap_per_key         per-domain/source document cap (row_number over
+                        the key, deterministic order)
+  * mod_stratified_sample  deterministic per-stratum sampling by modular
+                        arithmetic on the id — reproducible across runs
+                        and engines, no RNG state
+
+Scale notes: scrub_pii, repetition_signals, and the samplers are narrow
+maps/filters — ZERO shuffles, one corpus scan, they pipeline into the
+scan (repetition_signals computes all its n-gram statistics from each
+row's own token array; plan-pinned in tests). cap_per_key is a
+window over the key — the key's cardinality (domains) is what bounds
+the skew, and a hot domain (the exact thing the cap exists for) is
+bounded by AQE skew handling plus the cap itself discarding the tail
+after rank K; for billion-row domains swap in the group-top-K
+aggregate form (commented at the call-site) which partial-aggregates
+map-side.
+
+PII patterns are written in the RE2/Java-regex common subset so the
+Spark plan and the DuckDB oracle compile the IDENTICAL pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# RE2/Java common-subset patterns (no lookbehind, no \p classes)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, then IPv4s, then phone numbers, counting each class
+    on the text as it stood when that class was scanned (sequential
+    semantics, so e.g. digits inside an already-redacted email can't be
+    re-counted as a phone). Adds n_emails/n_ips/n_phones/scrubbed."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t0, F.lit(EMAIL_RE)),
+            "n_ips": F.regexp_count(t1, F.lit(IPV4_RE)),
+            "n_phones": F.regexp_count(t2, F.lit(PHONE_RE)),
+            "scrubbed": t3,
+        }
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 15,
+    top_uni_x1000: int = 300,
+    top_bi_x1000: int = 180,
+    dup5_x1000: int = 300,
+) -> DataFrame:
+    """Gopher-style repetition filter signals, token-fraction variant.
+
+    Per document: n_tokens, the occurrence count of the most frequent
+    unigram and of the most frequent adjacent bigram, and dup5_mass =
+    (occurrences - distinct) of 5-token shingles, i.e. how much of the
+    document is verbatim 5-gram repetition. The keep/drop verdict uses
+    integer permille thresholds (defaults are the token-form analogue of
+    the Gopher paper's character-fraction cuts — configurable, the
+    thresholds are policy, the signals are the operator).
+
+    Plan shape: everything is per-document over that row's own token
+    sequence, so the whole operator is ONE narrow projection — no token
+    explode, no shuffle, no window; a 100 TB corpus is read exactly
+    once and the signals pipeline into the scan. Top counts come from
+    the max run length of the sorted n-gram array (an O(n log n)
+    per-row lambda, still whole-stage-codegen'd); duplicate mass is
+    size - size(array_distinct).
+    """
+    max_run = (
+        "aggregate({arr}, "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
+        " 'best', CAST(0 AS BIGINT)), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
+        "'best', greatest(acc.best,"
+        " IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)))), "
+        "acc -> acc.best)"
+    )
+    ngram = (
+        "IF(size(toks) >= {n}, "
+        "transform(sequence(1, size(toks) - {n1}), i -> {concat}), "
+        "array())"
+    )
+    bi_concat = (
+        "concat(element_at(toks, i), chr(2), element_at(toks, i + 1))"
+    )
+    g5_concat = (
+        "concat(element_at(toks, i), chr(2), element_at(toks, i + 1),"
+        " chr(2), element_at(toks, i + 2), chr(2), element_at(toks, i + 3),"
+        " chr(2), element_at(toks, i + 4))"
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            F.expr(
+                f"filter(split({text_col}, ' '), x -> x != '')"
+            ).alias("toks"),
+        )
+        .where(F.expr("size(toks) > 0"))
+        .select(
+            id_col,
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+            F.expr(max_run.format(arr="array_sort(toks)")).alias(
+                "top_uni_cnt"
+            ),
+            F.expr(
+                ngram.format(n=2, n1=1, concat=bi_concat)
+            ).alias("bi"),
+            F.expr(
+                ngram.format(n=5, n1=4, concat=g5_concat)
+            ).alias("g5"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "top_uni_cnt",
+            F.expr(max_run.format(arr="array_sort(bi)")).alias("top_bi_cnt"),
+            F.expr(
+                "CAST(size(g5) - size(array_distinct(g5)) AS BIGINT)"
+            ).alias("dup5_mass"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "top_uni_cnt",
+        "top_bi_cnt",
+        "dup5_mass",
+        F.when(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.expr("top_uni_cnt * 1000 div n_tokens") < top_uni_x1000)
+            & (F.expr("top_bi_cnt * 1000 div n_tokens") < top_bi_x1000)
+            & (F.expr("dup5_mass * 1000 div n_tokens") < dup5_x1000),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )
+
+
+def cap_per_key(
+    df: DataFrame, key_col: str, order_col: str, k: int
+) -> DataFrame:
+    """Keep at most ``k`` rows per key, deterministically the lowest
+    ``order_col`` values (per-domain cap). For keys whose group sizes
+    dwarf memory, the aggregate form
+    ``groupBy(key).agg(slice(sort_array(collect_list(...)), 1, k))`` is
+    NOT the answer either (collect_list materializes the group); the
+    scale path is a two-pass threshold: count per key, then re-join the
+    k-th order statistic — but for k in the thousands the window below
+    with AQE skew split is the measured-faster plan."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def mod_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    mod: int = 1000,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``(id * 48271) mod 1000 < rate(stratum)`` (MINSTD multiplicative
+    scrambling so adjacent ids don't stripe; 48271 keeps id*mult inside
+    int64 for any id < 1.9e14, ANSI-overflow-safe at 100 TB id ranges).
+    No RNG, reproducible on any engine, exact expected rates for
+    uniformly distributed ids."""
+    rate = F.lit(default_permille)
+    for stratum, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(permille)).otherwise(
+            rate
+        )
+    bucket = F.pmod(F.col(id_col) * F.lit(48271), F.lit(mod))
+    return df.where(bucket < rate)

@@ -25,6 +25,10 @@ Coverage map to SURVEY.md §2 (reference file:line cited per query):
   similarity         embedding_topk (brute-force cosine top-k)
   text analysis      lang_id_heuristic, quality_score, token_stats,
                      token_stats_bpe, winnow_fingerprint
+  curation           pii_scrub (sequential redaction + counts),
+                     repetition_signals (Gopher-style token-fraction
+                     repetition cuts), domain_cap (per-source top-K),
+                     stratified_sample (deterministic mod-sampling)
   term scoring       tfidf_top_terms, rake_keywords (north_star
                      TF-IDF/RAKE), term_cooccurrence (hierarchy stats)
   scale sketches     neardup_pairs_scale (xxhash minhash → 16x1 LSH →
@@ -43,6 +47,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from knowledgegraphgenerator_spark.operators.curation import (
+    EMAIL_RE as _EMAIL_RE,
+    IPV4_RE as _IPV4_RE,
+    PHONE_RE as _PHONE_RE,
+)
 
 # ---------------------------------------------------------------- helpers
 
@@ -639,6 +649,71 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Curation: PII redaction. The synthetic corpus carries no PII, so
+    the query deterministically injects one email / phone / IPv4 per
+    id-residue class first (same expression on the oracle side), making
+    the counts and the scrubbed text non-trivial at every sf."""
+    from knowledgegraphgenerator_spark.operators.curation import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call +555 123 4567"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" from 10.0.0.1"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(injected).select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "scrubbed",
+    )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Curation: Gopher-style repetition metrics + keep/drop verdict."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        repetition_signals,
+    )
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Curation: per-source document cap (keep lowest 20 doc_ids)."""
+    from knowledgegraphgenerator_spark.operators.curation import cap_per_key
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_key(d, "source", "doc_id", 20)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Curation: deterministic per-language mod-sampling (downsample the
+    head language, keep more of the tail)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        mod_stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mod_stratified_sample(
+        d, "doc_id", "lang", {"en": 200, "zh": 500}, default_permille=700
+    )
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Rolling-hash 4-gram document fingerprint (winnowing-style min)."""
     toks = _tokens(spark, sf_dir)
@@ -1039,6 +1114,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "lang_id_heuristic": q_lang_id_heuristic,
+    "pii_scrub": q_pii_scrub,
+    "repetition_signals": q_repetition_signals,
+    "domain_cap": q_domain_cap,
+    "stratified_sample": q_stratified_sample,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1206,6 +1285,71 @@ ORACLES: dict[str, str] = {
         " AS BIGINT) AS hits FROM toks GROUP BY doc_id) "
         "SELECT doc_id, hits, n_tokens, CASE WHEN hits * 10 >= n_tokens"
         " THEN 'en_like' ELSE 'other' END AS pred FROM agg"
+    ),
+    "pii_scrub": (
+        "WITH inj AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call +555 123 4567'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.0.1' ELSE '' END"
+        " AS text FROM documents), "
+        "s1 AS (SELECT doc_id,"
+        f" CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)"
+        " AS n_emails,"
+        f" regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1"
+        " FROM inj), "
+        "s2 AS (SELECT doc_id, n_emails,"
+        f" CAST(len(regexp_extract_all(t1, '{_IPV4_RE}')) AS BIGINT)"
+        " AS n_ips,"
+        f" regexp_replace(t1, '{_IPV4_RE}', '<IP>', 'g') AS t2 FROM s1) "
+        "SELECT doc_id, n_emails, n_ips,"
+        f" CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS BIGINT)"
+        " AS n_phones,"
+        f" regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed"
+        " FROM s2"
+    ),
+    "repetition_signals": (
+        f"WITH toks AS ({_TOKENS_SQL}), "
+        "uni AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c"
+        " FROM toks GROUP BY 1, 2), "
+        "tu AS (SELECT doc_id, max(c) AS top_uni_cnt,"
+        " CAST(sum(c) AS BIGINT) AS n_tokens FROM uni GROUP BY 1), "
+        "seq AS (SELECT doc_id, pos, term,"
+        " lead(term, 1) OVER w AS nxt, lead(term, 2) OVER w AS t2,"
+        " lead(term, 3) OVER w AS t3, lead(term, 4) OVER w AS t4"
+        " FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+        "bi AS (SELECT doc_id, term, nxt, count(*) AS c FROM seq"
+        " WHERE nxt IS NOT NULL GROUP BY 1, 2, 3), "
+        "tb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi_cnt"
+        " FROM bi GROUP BY 1), "
+        "g5 AS (SELECT doc_id, term || chr(2) || nxt || chr(2) || t2"
+        " || chr(2) || t3 || chr(2) || t4 AS g FROM seq"
+        " WHERE t4 IS NOT NULL), "
+        "d5 AS (SELECT doc_id, CAST(count(g) - count(DISTINCT g) AS BIGINT)"
+        " AS dup5_mass FROM g5 GROUP BY 1) "
+        "SELECT tu.doc_id, n_tokens, top_uni_cnt,"
+        " coalesce(top_bi_cnt, 0) AS top_bi_cnt,"
+        " coalesce(dup5_mass, 0) AS dup5_mass,"
+        " CASE WHEN n_tokens >= 15"
+        " AND top_uni_cnt * 1000 // n_tokens < 300"
+        " AND coalesce(top_bi_cnt, 0) * 1000 // n_tokens < 180"
+        " AND coalesce(dup5_mass, 0) * 1000 // n_tokens < 300"
+        " THEN 'keep' ELSE 'drop' END AS verdict "
+        "FROM tu LEFT JOIN tb ON tu.doc_id = tb.doc_id"
+        " LEFT JOIN d5 ON tu.doc_id = d5.doc_id"
+    ),
+    "domain_cap": (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER ("
+        "PARTITION BY source ORDER BY doc_id) AS rn FROM documents"
+        ") WHERE rn <= 20"
+    ),
+    "stratified_sample": (
+        "SELECT doc_id, lang, source FROM documents"
+        " WHERE (doc_id * 48271) % 1000 < CASE"
+        " WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 500"
+        " ELSE 700 END"
     ),
     "quality_score": (
         f"WITH toks AS ({_TOKENS_SQL}), "

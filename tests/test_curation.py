@@ -1,0 +1,126 @@
+"""Corpus-curation operators (operators/curation.py): PII scrubbing,
+Gopher-style repetition signals, per-domain caps, deterministic
+stratified sampling. Driver-gated twins live in queries.py
+(pii_scrub / repetition_signals / domain_cap / stratified_sample);
+these unit tests cover the edge cases the synthetic corpus can't hit
+and pin the zero-shuffle plan shapes."""
+
+from __future__ import annotations
+
+from knowledgegraphgenerator_spark.operators.curation import (
+    cap_per_key,
+    mod_stratified_sample,
+    repetition_signals,
+    scrub_pii,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scrub_pii_sequential_semantics(spark):
+    rows = [
+        (1, "mail a.b-c_d%x+1@sub.example.co.uk now"),
+        (2, "server 192.168.1.254 and 10.0.0.1 up"),
+        (3, "call +555 123 4567 or 555-987 6543".replace("987 ", "987-")),
+        (4, "mixed bob@x.io at 8.8.8.8 tel 555 111 2222"),
+        (5, "clean text no pii"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+
+    assert out[1].n_emails == 1 and "<EMAIL>" in out[1].scrubbed
+    assert "@" not in out[1].scrubbed
+    assert out[2].n_ips == 2 and out[2].scrubbed.count("<IP>") == 2
+    assert out[3].n_phones == 2
+    assert out[4].n_emails == 1 and out[4].n_ips == 1 and out[4].n_phones == 1
+    assert out[4].scrubbed == "mixed <EMAIL> at <IP> tel <PHONE>"
+    assert out[5].scrubbed == "clean text no pii"
+    assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (0, 0, 0)
+    # sequential scrub: digits of an already-redacted IP can't be
+    # re-counted as a phone; email host dots can't become an IP
+    assert out[2].n_phones == 0
+    # narrow map: no exchange, pipeline into the source
+    assert "Exchange" not in _plan(scrub_pii(df))
+
+
+def test_repetition_signals_crafted(spark):
+    rows = [
+        # 20 tokens, all distinct -> keep
+        (1, " ".join(f"w{i}" for i in range(20))),
+        # one token repeated 10 of 20 -> top_uni 10 -> drop (500 >= 300)
+        (2, " ".join(["spam"] * 10 + [f"w{i}" for i in range(10)])),
+        # verbatim 5-gram repetition: the same 5 tokens 4 times
+        (3, " ".join(["a b c d e"] * 4)),
+        # short doc -> drop on min_tokens
+        (4, "tiny doc"),
+        # empty text -> excluded entirely (matches the oracle's tokens CTE)
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+
+    assert 5 not in out
+    assert out[1].verdict == "keep" and out[1].top_uni_cnt == 1
+    assert out[2].top_uni_cnt == 10 and out[2].verdict == "drop"
+    # doc 3: 20 tokens, 16 5-gram windows, 4 distinct windows appear
+    # 4x/3x... -> dup5_mass = 16 - distinct; 'a b c d e' repeated gives
+    # every window duplicated: windows cycle with period 5 -> 5 distinct
+    # patterns (abcde, bcdea, ...) each hit multiple times
+    assert out[3].n_tokens == 20
+    assert out[3].dup5_mass == 16 - 5
+    assert out[3].verdict == "drop"
+    assert out[4].n_tokens == 2 and out[4].verdict == "drop"
+    # single-token doc edge: bigram/5-gram arrays empty, counts 0
+    one = repetition_signals(
+        spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    ).collect()[0]
+    assert (one.top_bi_cnt, one.dup5_mass) == (0, 0)
+    # zero-shuffle plan: all signals from the row's own token array
+    assert "Exchange" not in _plan(repetition_signals(df))
+
+
+def test_cap_per_key(spark):
+    rows = [(i, "d%d" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, "source", "doc_id", 4).collect()
+    assert len(out) == 12
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # deterministically the LOWEST ids per key
+    assert sorted(by_src["d0"]) == [0, 3, 6, 9]
+    assert sorted(by_src["d2"]) == [2, 5, 8, 11]
+
+
+def test_mod_stratified_sample_deterministic(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = sorted(
+        r.doc_id
+        for r in mod_stratified_sample(
+            df, "doc_id", "lang", {"en": 100}, default_permille=900
+        ).collect()
+    )
+    out2 = sorted(
+        r.doc_id
+        for r in mod_stratified_sample(
+            df, "doc_id", "lang", {"en": 100}, default_permille=900
+        ).collect()
+    )
+    assert out1 == out2  # no RNG state — identical across runs
+    en = sum(1 for i in out1 if i % 2 == 0)
+    de = len(out1) - en
+    # expected 100/1000 of 1000 en docs and 900/1000 of 1000 de docs,
+    # exact-ish under the multiplicative scramble
+    assert 60 <= en <= 140
+    assert 850 <= de <= 950
+    # every kept row satisfies the arithmetic predicate exactly
+    for i in out1[:50]:
+        rate = 100 if i % 2 == 0 else 900
+        assert (i * 48271) % 1000 < rate
+    assert "Exchange" not in _plan(
+        mod_stratified_sample(df, "doc_id", "lang", {"en": 100}, 900)
+    )
