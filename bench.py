@@ -59,6 +59,11 @@ HEADLINE = [
     "lang_id_heuristic",
     "dedup_exact",
     "quality_score",
+    # curation ops (round 3): PII redaction, Gopher-style repetition
+    # cuts, token-budget chunking — all zero-shuffle narrow plans
+    "pii_scrub",
+    "repetition_signals",
+    "chunk_by_tokens",
     "pricing_summary",
     "top_orders_per_cust",
     "sessionize",

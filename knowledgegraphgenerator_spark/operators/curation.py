@@ -165,6 +165,53 @@ def repetition_signals(
     )
 
 
+def chunk_by_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into training-window chunks of at most
+    ``max_tokens`` whitespace tokens with ``overlap`` tokens of context
+    carried between consecutive chunks (the standard sharding step
+    before tokenizer packing). Chunk starts stride by
+    ``max_tokens - overlap``; the last chunk is short rather than
+    padded; a document never emits a chunk that is pure overlap
+    (n_chunks = ceil((n - overlap) / stride), floor 1).
+
+    Zero-shuffle: chunks are computed from each row's own token array
+    and posexploded — the corpus is read once and the op pipelines into
+    the scan; output order (doc_id, chunk_id) is scan-stable."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    chunks = (
+        "transform(sequence(0, CAST(greatest(1, "
+        f"(size(toks) - {overlap} + {stride} - 1) div {stride}"
+        ") AS INT) - 1), "
+        f"c -> slice(toks, c * {stride} + 1, {max_tokens}))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias(
+                "toks"
+            ),
+        )
+        .where(F.expr("size(toks) > 0"))
+        .select(
+            id_col, F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk")
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr("CAST(size(chunk) AS BIGINT)").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
 def cap_per_key(
     df: DataFrame, key_col: str, order_col: str, k: int
 ) -> DataFrame:

@@ -714,6 +714,19 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_chunk_by_tokens(spark, sf_dir):
+    """Curation: token-budget chunking for training shards (40-token
+    windows, 10-token overlap — small enough to split the synthetic
+    10-99-token docs into 1-4 chunks each)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        chunk_by_tokens,
+    )
+
+    return chunk_by_tokens(
+        _t(spark, sf_dir, "documents"), max_tokens=40, overlap=10
+    )
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Rolling-hash 4-gram document fingerprint (winnowing-style min)."""
     toks = _tokens(spark, sf_dir)
@@ -1118,6 +1131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "domain_cap": q_domain_cap,
     "stratified_sample": q_stratified_sample,
+    "chunk_by_tokens": q_chunk_by_tokens,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1350,6 +1364,20 @@ ORACLES: dict[str, str] = {
         " WHERE (doc_id * 48271) % 1000 < CASE"
         " WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 500"
         " ELSE 700 END"
+    ),
+    "chunk_by_tokens": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split(text, ' '), x -> x <> '') AS toks"
+        " FROM documents), "
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t"
+        " WHERE len(toks) > 0), "
+        "c AS (SELECT doc_id, toks, n, unnest(generate_series(0,"
+        " greatest(1, (n - 10 + 29) // 30) - 1)) AS chunk_id FROM n) "
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,"
+        " CAST(len(toks[chunk_id * 30 + 1 :"
+        " least(chunk_id * 30 + 40, n)]) AS BIGINT) AS n_chunk_tokens,"
+        " array_to_string(toks[chunk_id * 30 + 1 :"
+        " least(chunk_id * 30 + 40, n)], ' ') AS chunk_text FROM c"
     ),
     "quality_score": (
         f"WITH toks AS ({_TOKENS_SQL}), "

@@ -124,3 +124,36 @@ def test_mod_stratified_sample_deterministic(spark):
     assert "Exchange" not in _plan(
         mod_stratified_sample(df, "doc_id", "lang", {"en": 100}, 900)
     )
+
+
+def test_chunk_by_tokens_boundaries(spark):
+    from knowledgegraphgenerator_spark.operators.curation import (
+        chunk_by_tokens,
+    )
+    import pytest
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks -> 3 chunks
+        (2, " ".join(f"t{i}" for i in range(40))),   # == max -> 1 chunk
+        (3, " ".join(f"t{i}" for i in range(41))),   # max+1 -> 2 chunks
+        (4, "one two"),                               # < max -> 1 chunk
+        (5, ""),                                      # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_by_tokens(df, max_tokens=40, overlap=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert 5 not in got
+    assert [c.n_chunk_tokens for c in sorted(got[1], key=lambda c: c.chunk_id)] == [40, 40, 40]
+    # chunk 1 starts at token 30 (stride 30): 10 tokens of overlap
+    c0, c1, c2 = sorted(got[1], key=lambda c: c.chunk_id)
+    assert c0.chunk_text.split()[30:] == c1.chunk_text.split()[:10]
+    assert c2.chunk_text.split()[-1] == "t99"
+    assert len(got[2]) == 1 and got[2][0].n_chunk_tokens == 40
+    assert len(got[3]) == 2
+    assert got[3][1].n_chunk_tokens == 11  # tokens 31..41: overlap + 1
+    assert len(got[4]) == 1 and got[4][0].chunk_text == "one two"
+    assert "Exchange" not in _plan(out)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, max_tokens=10, overlap=10)
