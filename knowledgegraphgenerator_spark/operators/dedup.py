@@ -81,6 +81,27 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    signatures: DataFrame, id_col: str, rows_per_band: int
+) -> DataFrame:
+    """(id, band, sig): concatenated per-band minhash rows."""
+    return (
+        signatures.withColumn(
+            "band", (F.col("j") / rows_per_band).cast("int")
+        )
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(j, mh))),"
+                    " x -> x.mh)"
+                ),
+            ).alias("sig")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -88,17 +109,7 @@ def lsh_candidate_pairs(
     max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Band signatures → equi-join on (band, band_sig) → (id_a, id_b)."""
-    banded = (
-        signatures.withColumn(
-            "band", (F.col("j") / rows_per_band).cast("int")
-        )
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                "-", F.expr("transform(sort_array(collect_list(struct(j, mh))), x -> x.mh)")
-            ).alias("sig")
-        )
-    )
+    banded = _banded_signatures(signatures, id_col, rows_per_band)
     if max_bucket is not None:
         sizes = banded.groupBy("band", "sig").agg(
             F.count(F.lit(1)).alias("bn")
@@ -195,3 +206,104 @@ def near_dedup(
     dups = verify_jaccard(pairs, sh, id_col, threshold_num, threshold_den)
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "anti")
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 1,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus: (id_new,
+    id_old, inter, union_n) for every new doc whose shingle Jaccard with
+    some old doc is >= num/den.
+
+    This is the daily-ingest shape at 100 TB: the batch is small, the
+    corpus is huge, and the work must be proportional to the batch. The
+    band equi-join is asymmetric — new bands against old bands only, so
+    new×new and old×old pairs never materialize, and with |new| << |old|
+    AQE broadcasts the new side: the old corpus is touched once by the
+    band join and once by the verify semi-join, both prunable. In
+    production the old side's signatures/shingles are the PERSISTED
+    output of the previous run (bucket the parquet by the band sig) —
+    recomputing them here keeps the operator self-contained; the
+    decomposition makes the precomputed variant a drop-in (pass the
+    stored frames through the same joins).
+    """
+    sh_new = token_shingles(new_df, text_col, id_col, shingle_n)
+    sh_old = token_shingles(old_df, text_col, id_col, shingle_n)
+    band_new = _banded_signatures(
+        minhash_signatures(sh_new, id_col, k), id_col, rows_per_band
+    )
+    band_old = _banded_signatures(
+        minhash_signatures(sh_old, id_col, k), id_col, rows_per_band
+    )
+    if max_bucket is not None:
+        # hot-bucket guard on the OLD side only (a degenerate old bucket
+        # is the scale risk; the batch side is already small)
+        ok = (
+            band_old.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") <= max_bucket)
+            .select("band", "sig")
+        )
+        band_old = band_old.join(ok, ["band", "sig"], "semi")
+    cand = (
+        band_new.select(F.col(id_col).alias("id_new"), "band", "sig")
+        .join(
+            band_old.select(F.col(id_col).alias("id_old"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sizes_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_old"))
+    inter = (
+        cand.join(
+            sh_new.select(F.col(id_col).alias("id_new"), "shingle"), "id_new"
+        )
+        .join(
+            sh_old.select(F.col(id_col).alias("id_old"), "shingle"),
+            ["id_old", "shingle"],
+        )
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes_new.select(F.col(id_col).alias("id_new"), "n_new"),
+            "id_new",
+        )
+        .join(
+            sizes_old.select(F.col(id_col).alias("id_old"), "n_old"),
+            "id_old",
+        )
+        .withColumn("union_n", F.col("n_new") + F.col("n_old") - F.col("inter"))
+        .where(
+            F.col("inter") * threshold_den >= F.col("union_n") * threshold_num
+        )
+        .select("id_new", "id_old", "inter", "union_n")
+    )
+
+
+def admit_batch(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    **kwargs,
+) -> DataFrame:
+    """The batch minus anything near-duplicating the existing corpus."""
+    dup_ids = (
+        incremental_neardup_pairs(new_df, old_df, text_col, id_col, **kwargs)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "anti")

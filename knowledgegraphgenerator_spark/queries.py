@@ -494,6 +494,24 @@ def q_neardup_pairs_scale(spark, sf_dir):
     return verify_jaccard(pairs, sh, "doc_id", 8, 10)
 
 
+def q_incremental_neardup(spark, sf_dir):
+    """Incremental dedup: the daily-ingest shape — near-dup pairs of a
+    NEW batch (doc_id % 4 == 0) against the EXISTING corpus (the rest).
+    New×new and old×old pairs never materialize (asymmetric band join,
+    operators/dedup.py:incremental_neardup_pairs). Bucket guard off so
+    the brute-force oracle gates exact recall (1-(1-J)^16 at J >= 0.8)."""
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        incremental_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    return incremental_neardup_pairs(
+        new, old, "text", "doc_id", rows_per_band=1, max_bucket=None
+    )
+
+
 def q_minhash_scale(spark, sf_dir):
     """Bench-only: the xxhash64 minhash operator itself (k=16), no
     dense-id parity window (values are engine-specific -> no oracle)."""
@@ -1149,6 +1167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_event_counts": q_hourly_event_counts,
     "sessionize": q_sessionize,
     "neardup_pairs_scale": q_neardup_pairs_scale,
+    "incremental_neardup": q_incremental_neardup,
     "kg_triples": q_kg_triples,
     "kg_triples_blocked": q_kg_triples_blocked,
     "kg_triples_auto": q_kg_triples_auto,
@@ -1256,6 +1275,22 @@ ORACLES: dict[str, str] = {
         "FROM ix JOIN sizes na ON ix.id_a = na.doc_id "
         "JOIN sizes nb ON ix.id_b = nb.doc_id "
         "WHERE inter * 10 >= (na.n + nb.n - inter) * 8"
+    ),
+    "incremental_neardup": (
+        f"WITH sh AS ({_SHINGLES_SQL}), "
+        "shn AS (SELECT * FROM sh WHERE doc_id % 4 = 0), "
+        "sho AS (SELECT * FROM sh WHERE doc_id % 4 <> 0), "
+        "sn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shn"
+        " GROUP BY 1), "
+        "so AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sho"
+        " GROUP BY 1), "
+        "ix AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old,"
+        " CAST(count(*) AS BIGINT) AS inter FROM shn a"
+        " JOIN sho b ON a.shingle = b.shingle GROUP BY 1, 2) "
+        "SELECT id_new, id_old, inter, sn.n + so.n - inter AS union_n"
+        " FROM ix JOIN sn ON ix.id_new = sn.doc_id"
+        " JOIN so ON ix.id_old = so.doc_id"
+        " WHERE inter * 10 >= (sn.n + so.n - inter) * 8"
     ),
     "simhash16": (
         f"WITH toks AS ({_TOKENS_SQL}), "

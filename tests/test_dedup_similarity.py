@@ -96,3 +96,40 @@ def test_ivf_topk_recall_vs_brute_force(vectors):
     e = {(r["query_id"], r["rnk"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["rnk"], r["neighbor_id"]) for r in approx.collect()}
     assert e == a
+
+
+def test_incremental_neardup_asymmetric(spark):
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        admit_batch,
+        incremental_neardup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old_rows = [
+        (1, base),
+        (2, "completely different words about other things entirely here"),
+        (3, base.replace("kappa", "lambda")),  # old-old near-dup of 1
+    ]
+    new_rows = [
+        (100, base + " kappa"),   # near-dup of old 1
+        (101, "fresh unseen content with brand new vocabulary every token"),
+        (102, base + " kappa"),   # identical to new 100 (new-new dup)
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    pairs = incremental_neardup_pairs(
+        new, old, "text", "doc_id", rows_per_band=1, max_bucket=None
+    ).collect()
+    got = {(r.id_new, r.id_old) for r in pairs}
+    # cross-side dups found for BOTH new copies; no new-new (100,102),
+    # no old-old (1,3) pair ever materializes
+    assert (100, 1) in got and (102, 1) in got
+    assert all(a != 100 or b != 102 for a, b in got)
+    assert all(not (a in (1, 3) and b in (1, 3)) for a, b in got)
+    admitted = sorted(
+        r.doc_id
+        for r in admit_batch(
+            new, old, "text", "doc_id", rows_per_band=1, max_bucket=None
+        ).collect()
+    )
+    assert admitted == [101]
