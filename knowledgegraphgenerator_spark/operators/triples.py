@@ -115,3 +115,25 @@ def write_triples(
         .partitionBy("subj_bucket")
         .parquet(path)
     )
+
+
+def write_triples_bucketed_table(
+    triples: DataFrame, table: str, n_buckets: int = 32
+) -> None:
+    """Spark-NATIVE bucketed table (``bucketBy(N, subj).sortBy(subj)``
+    + ``saveAsTable``): unlike the partition-column layout above, the
+    bucket spec lives in the catalog, so every downstream equi-join or
+    aggregation on ``subj`` between tables bucketed with the same N
+    plans with ZERO Exchange on the bucketed sides (pinned in
+    ``test_plans``). This is the parquet twin of the Iceberg
+    ``bucket(N, subj)`` table spec (SURVEY.md §7.4): at 100 TB the
+    triple store is joined against itself (path expansion) and against
+    entity tables keyed by subj every query — pre-bucketing converts
+    those from full shuffles into local sort-merge joins."""
+    (
+        triples.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "subj")
+        .sortBy("subj")
+        .saveAsTable(table)
+    )

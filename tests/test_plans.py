@@ -130,3 +130,59 @@ def test_blocked_linking_join_is_equi_not_theta(spark):
         if "MapInPandas" in ln and "cands" in ln
     ]
     assert len(replay_nodes) == 1, plan
+
+
+def test_bucketed_triple_table_joins_without_exchange(spark, tmp_path):
+    """write_triples_bucketed_table: two tables bucketed bucket(8, subj)
+    must equi-join on subj with ZERO Exchange on either side (the
+    co-located-join posture the 100 TB triple store relies on), and the
+    join result must equal the plain shuffle join's."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_triples_bucketed_table,
+    )
+
+    trip = spark.createDataFrame(
+        [(f"s{i % 40}", "has_term", f"o{i}") for i in range(400)],
+        "subj string, pred string, obj string",
+    )
+    ent = spark.createDataFrame(
+        [(f"s{i}", i) for i in range(40)], "subj string, rank long"
+    )
+    write_triples_bucketed_table(trip, "t_trip_bucketed", n_buckets=8)
+    write_triples_bucketed_table(
+        ent.withColumn("pred", F.lit("x")).withColumn("obj", F.lit("y"))
+        .select("subj", "pred", "obj", "rank"),
+        "t_ent_bucketed",
+        n_buckets=8,
+    )
+    try:
+        a = spark.table("t_trip_bucketed")
+        b = spark.table("t_ent_bucketed").select("subj", "rank")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "subj")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            # values identical to the un-bucketed shuffle join
+            expect = sorted(
+                tuple(r) for r in trip.join(
+                    ent.select("subj", "rank"), "subj"
+                ).collect()
+            )
+            got = sorted(tuple(r) for r in joined.collect())
+            assert got == expect
+            # and a groupBy on the bucket key also plans shuffle-free
+            agg_plan = (
+                a.groupBy("subj").count()
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" not in agg_plan, agg_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_trip_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ent_bucketed")
