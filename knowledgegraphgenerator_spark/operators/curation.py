@@ -165,6 +165,68 @@ def repetition_signals(
     )
 
 
+# URL canonicalization — webtext ingest normalization. All components
+# are extracted with RE2/Java common-subset regexes and list operations
+# that exist verbatim in both Spark SQL and DuckDB, so the DuckDB value
+# oracle compiles the identical logic. registered_domain uses a
+# second-level-label heuristic ({co,com,net,org,gov,ac,edu} + >=3
+# labels -> 3-label domain), a disclosed approximation of the public
+# suffix list (the PSL is a data file, not an algorithm; swap it in by
+# broadcasting the label set when available).
+
+_TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+_SLD_SET = "('co','com','net','org','gov','ac','edu')"
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds host, registered_domain, and canonical_url: lowercase
+    scheme/host, default-port and leading-www strip, tracking params
+    removed, remaining query params sorted (order-insensitive dedup
+    key). Narrow projection — zero shuffles, pipelines into the scan."""
+    u = url_col
+    parts = {
+        "scheme": f"lower(regexp_extract({u},"
+        " '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))",
+        "hostport": f"lower(regexp_extract({u},"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))",
+        "rawpath": f"regexp_extract({u},"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)",
+        "rawq": f"regexp_extract({u}, '\\\\?([^#]*)', 1)",
+    }
+    host = (
+        "regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),"
+        " '^www\\\\.', '')"
+    )
+    clean_q = (
+        "array_join(array_sort(filter(split(rawq, '&'),"
+        f" p -> p != '' AND NOT p rlike '{_TRACKING_PARAM_RE}')), '&')"
+    )
+    reg_dom = (
+        "CASE WHEN size(labs) >= 3 AND element_at(labs, -2) IN "
+        f"{_SLD_SET} THEN concat_ws('.', element_at(labs, -3),"
+        " element_at(labs, -2), element_at(labs, -1)) "
+        "WHEN size(labs) >= 2 THEN concat_ws('.',"
+        " element_at(labs, -2), element_at(labs, -1)) "
+        "ELSE host END"
+    )
+    return (
+        df.withColumns({k: F.expr(v) for k, v in parts.items()})
+        .withColumn("host", F.expr(host))
+        .withColumn("labs", F.expr("split(host, '\\\\.')"))
+        .withColumn("registered_domain", F.expr(reg_dom))
+        .withColumn("cq", F.expr(clean_q))
+        .withColumn(
+            "canonical_url",
+            F.expr(
+                "concat(scheme, '://', host,"
+                " IF(rawpath = '', '/', rawpath),"
+                " IF(cq = '', '', concat('?', cq)))"
+            ),
+        )
+        .drop("scheme", "hostport", "rawpath", "rawq", "labs", "cq")
+    )
+
+
 def chunk_by_tokens(
     df: DataFrame,
     id_col: str = "doc_id",

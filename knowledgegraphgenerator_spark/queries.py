@@ -745,6 +745,53 @@ def q_chunk_by_tokens(spark, sf_dir):
     )
 
 
+def q_canonical_urls(spark, sf_dir):
+    """Curation: URL canonicalization over deterministically synthesized
+    crawl URLs (the documents table carries no URL column — both sides
+    build the same mixed-case/ported/tracked URLs from doc_id/source/
+    lang, covering every normalization branch)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        canonical_urls,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"),
+                F.lit(".Example.COM:443/"), F.col("lang"),
+                F.lit("/page"), sid, F.lit("?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".shop.co.uk:80/item/"), sid,
+                F.lit("?id="), sid, F.lit("&fbclid=xyz"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".org/docs/"),
+                sid,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://News."), F.col("source"),
+                F.lit(".net/a?z=1&y=2&utm_campaign=x"),
+            )
+        )
+    )
+    return canonical_urls(
+        d.select("doc_id", url.alias("url"))
+    ).select("doc_id", "host", "registered_domain", "canonical_url")
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Rolling-hash 4-gram document fingerprint (winnowing-style min)."""
     toks = _tokens(spark, sf_dir)
@@ -1150,6 +1197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "stratified_sample": q_stratified_sample,
     "chunk_by_tokens": q_chunk_by_tokens,
+    "canonical_urls": q_canonical_urls,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -1413,6 +1461,46 @@ ORACLES: dict[str, str] = {
         " least(chunk_id * 30 + 40, n)]) AS BIGINT) AS n_chunk_tokens,"
         " array_to_string(toks[chunk_id * 30 + 1 :"
         " least(chunk_id * 30 + 40, n)], ' ') AS chunk_text FROM c"
+    ),
+    "canonical_urls": (
+        "WITH urls AS (SELECT doc_id, CASE"
+        " WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' || source ||"
+        " '.Example.COM:443/' || lang || '/page' ||"
+        " CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1'"
+        " WHEN doc_id % 4 = 1 THEN 'http://' || source ||"
+        " '.shop.co.uk:80/item/' || CAST(doc_id AS VARCHAR) || '?id=' ||"
+        " CAST(doc_id AS VARCHAR) || '&fbclid=xyz'"
+        " WHEN doc_id % 4 = 2 THEN 'https://' || source || '.org/docs/'"
+        " || CAST(doc_id AS VARCHAR)"
+        " ELSE 'https://News.' || source ||"
+        " '.net/a?z=1&y=2&utm_campaign=x' END AS url FROM documents), "
+        "parts AS (SELECT doc_id,"
+        " lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+        " AS scheme,"
+        " lower(regexp_extract(url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,"
+        " regexp_extract(url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,"
+        " regexp_extract(url, '\\?([^#]*)', 1) AS rawq FROM urls), "
+        "hosts AS (SELECT doc_id, scheme, rawpath, rawq,"
+        " regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),"
+        " '^www\\.', '') AS host FROM parts), "
+        "comp AS (SELECT doc_id, scheme, rawpath, host,"
+        " string_split(host, '.') AS labs,"
+        " coalesce(array_to_string(list_sort(list_filter("
+        "string_split(rawq, '&'), p -> p <> '' AND NOT regexp_matches(p,"
+        " '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&'), '') AS cq"
+        " FROM hosts) "
+        "SELECT doc_id, host,"
+        " CASE WHEN len(labs) >= 3 AND labs[-2] IN"
+        " ('co','com','net','org','gov','ac','edu')"
+        " THEN labs[-3] || '.' || labs[-2] || '.' || labs[-1]"
+        " WHEN len(labs) >= 2 THEN labs[-2] || '.' || labs[-1]"
+        " ELSE host END AS registered_domain,"
+        " scheme || '://' || host ||"
+        " (CASE WHEN rawpath = '' THEN '/' ELSE rawpath END) ||"
+        " (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)"
+        " AS canonical_url FROM comp"
     ),
     "quality_score": (
         f"WITH toks AS ({_TOKENS_SQL}), "

@@ -157,3 +157,35 @@ def test_chunk_by_tokens_boundaries(spark):
     assert "Exchange" not in _plan(out)
     with pytest.raises(ValueError):
         chunk_by_tokens(df, max_tokens=10, overlap=10)
+
+
+def test_canonical_urls_branches(spark):
+    from knowledgegraphgenerator_spark.operators.curation import (
+        canonical_urls,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Foo.Example.COM:443/A/B?utm_source=x&b=2&a=1"),
+        (2, "http://shop.co.uk:80/item?fbclid=z"),
+        (3, "https://bare.org"),
+        (4, "https://a.b.c.example.net/p?z=1&y=2"),
+        (5, "https://localhost/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in canonical_urls(df).collect()}
+
+    # case-fold, www/port strip, tracking removal, param sort
+    assert out[1].host == "foo.example.com"
+    assert out[1].canonical_url == "https://foo.example.com/A/B?a=1&b=2"
+    assert out[1].registered_domain == "example.com"
+    # second-level-label heuristic: co.uk keeps three labels
+    assert out[2].registered_domain == "shop.co.uk"
+    assert out[2].canonical_url == "http://shop.co.uk/item"
+    # no path -> '/'
+    assert out[3].canonical_url == "https://bare.org/"
+    # deep subdomains collapse to the 2-label registrable
+    assert out[4].registered_domain == "example.net"
+    assert out[4].canonical_url.endswith("/p?y=2&z=1")
+    # single-label host falls back to itself
+    assert out[5].registered_domain == "localhost"
+    assert "Exchange" not in _plan(canonical_urls(df))
