@@ -75,18 +75,38 @@ def extract_doc_features(
     return src.mapInPandas(gen, schema=_FEATURES_SCHEMA)
 
 
-def _counts(features: DataFrame, col: str) -> DataFrame:
-    """Explode one feature array and aggregate (term, cnt, first_seen).
+def unified_term_counts(features: DataFrame) -> DataFrame:
+    """(kind, term, cnt, first_seen) for all three dictionary sections in
+    ONE pass: one explode over a kind-tagged concat of the feature
+    arrays, one (kind, term) shuffle — instead of three explode+shuffle
+    passes over the features (round-2 shape; shuffle bytes are identical
+    since the sections are disjoint, the saving is the 2 extra corpus/
+    cache passes). The output is vocabulary-bounded — tiny relative to
+    the corpus — so the hot paths MATERIALIZE it once (pipeline: persist;
+    stage runner: its own committed stage) and every section/filter/
+    self-join downstream reads the materialization. Deriving sections
+    straight from this plan without materializing re-explodes per
+    section (Catalyst pushes the kind filter below the aggregate —
+    kind is a grouping key), which is why term_counts() below is only
+    the convenience form.
 
     first_seen = lexicographic min of (doc_id, pos) — deterministic
     Counter-insertion-order stand-in (corpus order = doc_id ascending,
-    within-doc order = emission position).
-    """
+    within-doc order = emission position)."""
+    tagged = (
+        "explode(concat("
+        "transform(phrases, (x, i) ->"
+        " struct('phrases' AS kind, i AS pos, x AS term)), "
+        "transform(unigrams, (x, i) ->"
+        " struct('unigrams' AS kind, i AS pos, x AS term)), "
+        "transform(verbs, (x, i) ->"
+        " struct('verbs' AS kind, i AS pos, x AS term))"
+        ")) AS e"
+    )
     return (
-        features.select(
-            "doc_id", F.posexplode(col).alias("pos", "term")
-        )
-        .groupBy("term")
+        features.select("doc_id", F.expr(tagged))
+        .select("doc_id", "e.kind", "e.pos", "e.term")
+        .groupBy("kind", "term")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.min(F.struct("doc_id", "pos")).alias("first_seen"),
@@ -94,19 +114,32 @@ def _counts(features: DataFrame, col: str) -> DataFrame:
     )
 
 
+def sections_from_counted(counted: DataFrame) -> dict[str, DataFrame]:
+    """Threshold-filtered sections of a (materialized) unified count
+    frame (strict >, phrase_finder.py:33-34); verbs unthresholded at
+    corpus stage (assignment breaks at cnt==1, so cnt>=2 prefilter is
+    applied at collect time — SURVEY.md §2.6 O5)."""
+
+    def section(kind: str) -> DataFrame:
+        return counted.where(F.col("kind") == kind).drop("kind")
+
+    return {
+        "phrases": section("phrases").filter(
+            F.col("cnt") > PHRASES_FREQ_THRESHOLD
+        ),
+        "unigrams": section("unigrams").filter(
+            F.col("cnt") > UNIGRAM_FREQ_THRESHOLD
+        ),
+        "verbs": section("verbs"),
+    }
+
+
 def term_counts(features: DataFrame) -> dict[str, DataFrame]:
-    """-> {'phrases': df, 'unigrams': df, 'verbs': df} of (term, cnt,
-    first_seen), thresholds applied (strict >, phrase_finder.py:33-34);
-    verbs unthresholded at corpus stage (assignment breaks at cnt==1, so
-    cnt>=2 prefilter is applied at collect time — SURVEY.md §2.6 O5)."""
-    phrases = _counts(features, "phrases").filter(
-        F.col("cnt") > PHRASES_FREQ_THRESHOLD
-    )
-    unigrams = _counts(features, "unigrams").filter(
-        F.col("cnt") > UNIGRAM_FREQ_THRESHOLD
-    )
-    verbs = _counts(features, "verbs")
-    return {"phrases": phrases, "unigrams": unigrams, "verbs": verbs}
+    """-> {'phrases': df, 'unigrams': df, 'verbs': df}; convenience form
+    of unified_term_counts → sections_from_counted (callers on a hot
+    path should materialize the unified frame themselves — see
+    unified_term_counts)."""
+    return sections_from_counted(unified_term_counts(features))
 
 
 def dedup_equal_count_phrases(phrases: DataFrame) -> DataFrame:

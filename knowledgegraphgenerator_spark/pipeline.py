@@ -165,7 +165,13 @@ def run_pipeline(
     features = phrases.extract_doc_features(
         normalized, stops, id_col="doc_id", text_col="norm_text"
     ).persist()
-    frames = phrases.term_counts(features)
+    # ONE explode + ONE shuffle builds all three dictionary sections;
+    # the result is vocabulary-bounded, so persist it and let the
+    # sections, the A3 self-join, and the probe/union all read the
+    # cache instead of re-deriving from the corpus (unified_term_counts
+    # docstring explains why unmaterialized sections re-explode).
+    counted = phrases.unified_term_counts(features).persist()
+    frames = phrases.sections_from_counted(counted)
     frames["phrases"] = phrases.dedup_equal_count_phrases(frames["phrases"])
 
     use_blocked = linking == "blocked"
@@ -203,6 +209,7 @@ def run_pipeline(
         else:
             dictionary = phrases.collect_ranked_dictionary(frames, stops)
         features.unpersist()
+        counted.unpersist()
         dictionary_sizes = {
             "phrases": len(dictionary.phrases),
             "unigrams": len(dictionary.unigrams),

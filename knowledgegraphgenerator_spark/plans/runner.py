@@ -183,22 +183,30 @@ def run_resumable_pipeline(
                                                "doc_id", "norm_text"),
         input_df=normalized,
     )
+    # one corpus pass builds every section; the committed stage is the
+    # materialization the section stages filter (vocabulary-bounded, so
+    # the three downstream stages are metadata-cheap)
+    dict_counts = runner.run_stage(
+        "dict_counts",
+        lambda f: phrases.unified_term_counts(f),
+        input_df=features,
+    )
     phrases_df = runner.run_stage(
         "dict_phrases",
-        lambda f: phrases.dedup_equal_count_phrases(
-            phrases.term_counts(f)["phrases"]
+        lambda c: phrases.dedup_equal_count_phrases(
+            phrases.sections_from_counted(c)["phrases"]
         ),
-        input_df=features,
+        input_df=dict_counts,
     )
     unigrams_df = runner.run_stage(
         "dict_unigrams",
-        lambda f: phrases.term_counts(f)["unigrams"],
-        input_df=features,
+        lambda c: phrases.sections_from_counted(c)["unigrams"],
+        input_df=dict_counts,
     )
     verbs_df = runner.run_stage(
         "dict_verbs",
-        lambda f: phrases.term_counts(f)["verbs"],
-        input_df=features,
+        lambda c: phrases.sections_from_counted(c)["verbs"],
+        input_df=dict_counts,
     )
     dictionary = phrases.collect_ranked_dictionary(
         {"phrases": phrases_df, "unigrams": unigrams_df, "verbs": verbs_df},
