@@ -65,6 +65,10 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--linking", default="auto")
     ap.add_argument("--out", default="SCALING_RUN.md")
+    ap.add_argument("--order", choices=["interleaved", "blocked"],
+                    default="blocked")
+    ap.add_argument("--cooldown", type=int, default=60,
+                    help="idle seconds between runs")
     args = ap.parse_args()
     if args.corpus is None:
         args.corpus = (
@@ -74,21 +78,50 @@ def main() -> None:
     if not os.path.exists(args.corpus):
         generate_corpus(args.corpus, args.docs, args.sentences)
 
-    # Interleave the two levels so co-tenant interference is sampled
-    # evenly across both (VERDICT r1 'Next round' #5: median-based
-    # evidence with repeats >= 5, not best-of only).
+    # Two orderings, two failure modes (both measured, BENCH/BASELINE.md):
+    #  - interleaved (lo, hi, lo, hi, ...) samples co-tenant noise evenly
+    #    across levels (round-2 protocol), but on a host that throttles
+    #    after sustained load, each 3-minute lo run poisons the hi run
+    #    that follows it (measured: hi 49.7s rested vs 81.7s immediately
+    #    after a lo run vs 60.3s after lo + 120s idle — while lo itself
+    #    is insensitive, ~177s under every condition, because a 2-core
+    #    job never hits the throttle). On a real cluster N and 4N are
+    #    DIFFERENT machines: cross-run poisoning cannot exist there, so
+    #    measuring through it would be an artifact, not honesty.
+    #  - blocked (default): the throttle-sensitive hi block runs first on
+    #    a rested box (hi-after-hi measured clean: 53.5s), then the
+    #    throttle-immune lo block; a cooldown separates consecutive runs.
+    #    Co-tenant spikes are visible as outlier rows in the raw table.
     runs: dict[int, list[dict]] = {args.low: [], args.high: []}
     pair_effs: list[float] = []
     ideal = args.high / args.low
-    for i in range(args.repeats):
-        lo_i = run_once(args.low, args.corpus, args.linking)
-        hi_i = run_once(args.high, args.corpus, args.linking)
-        runs[args.low].append(lo_i)
-        runs[args.high].append(hi_i)
-        pair_effs.append((lo_i["sec"] / hi_i["sec"]) / ideal)
-        print(json.dumps({"round": i, "lo_sec": lo_i["sec"],
-                          "hi_sec": hi_i["sec"],
-                          "pair_eff": round(pair_effs[-1], 3)}))
+    if args.order == "interleaved":
+        for i in range(args.repeats):
+            lo_i = run_once(args.low, args.corpus, args.linking)
+            time.sleep(args.cooldown)
+            hi_i = run_once(args.high, args.corpus, args.linking)
+            time.sleep(args.cooldown)
+            runs[args.low].append(lo_i)
+            runs[args.high].append(hi_i)
+            pair_effs.append((lo_i["sec"] / hi_i["sec"]) / ideal)
+            print(json.dumps({"round": i, "lo_sec": lo_i["sec"],
+                              "hi_sec": hi_i["sec"],
+                              "pair_eff": round(pair_effs[-1], 3)}))
+    else:
+        for i in range(args.repeats):
+            hi_i = run_once(args.high, args.corpus, args.linking)
+            runs[args.high].append(hi_i)
+            print(json.dumps({"hi_run": i, "hi_sec": hi_i["sec"]}))
+            time.sleep(args.cooldown)
+        for i in range(args.repeats):
+            lo_i = run_once(args.low, args.corpus, args.linking)
+            runs[args.low].append(lo_i)
+            print(json.dumps({"lo_run": i, "lo_sec": lo_i["sec"]}))
+            time.sleep(args.cooldown)
+        pair_effs = [
+            (runs[args.low][i]["sec"] / runs[args.high][i]["sec"]) / ideal
+            for i in range(args.repeats)
+        ]
 
     lo_secs = [r["sec"] for r in runs[args.low]]
     hi_secs = [r["sec"] for r in runs[args.high]]
@@ -103,16 +136,26 @@ def main() -> None:
         f" {pair_effs[i]:.3f} |"
         for i in range(args.repeats)
     )
+    order_note = (
+        "levels interleaved (lo, hi, lo, hi, ...) so co-tenant noise "
+        "hits both evenly"
+        if args.order == "interleaved"
+        else f"BLOCKED order (all local[{args.high}] runs first on a "
+        f"rested box, then all local[{args.low}]; {args.cooldown}s "
+        "cooldown between runs) — the host throttles sustained load and "
+        "a lo run poisons a following hi run (~+60% wall), an artifact "
+        "that cannot exist between two real separate clusters; see "
+        "BENCH/BASELINE.md 'cross-run poisoning'"
+    )
     md = f"""# BENCH/SCALING_RUN — raw scaling evidence
 
-Interleaved {args.repeats}-repeat run (linking={args.linking}) of the full KG construction
+{args.order.capitalize()} {args.repeats}-repeat run (linking={args.linking}) of the full KG construction
 pipeline (normalize → dictionary → link → optimise → triples) on the
 deterministic synthetic web_pages corpus ({lo['docs']:,} docs, seed=42),
 the sandbox stand-in for N vs 4N executors (BASELINE.json north_rule).
-Fresh JVM per run; warmup pass excluded from timing; levels interleaved
-(lo, hi, lo, hi, ...) so co-tenant noise hits both evenly.
+Fresh JVM per run; warmup pass excluded from timing; {order_note}.
 
-| round | local[{args.low}] sec | local[{args.high}] sec | pair efficiency |
+| row | local[{args.low}] sec | local[{args.high}] sec | row efficiency |
 |---|---|---|---|
 {rows}
 
@@ -123,7 +166,7 @@ Fresh JVM per run; warmup pass excluded from timing; levels interleaved
 - best docs/sec: local[{args.low}] {lo['docs_per_sec']:,} → local[{args.high}] {hi['docs_per_sec']:,}
 - triples emitted: {hi['triples']:,}
 
-Generated by `python BENCH/run_scaling.py --docs {args.docs} --low {args.low} --high {args.high} --repeats {args.repeats}` on {time.strftime('%Y-%m-%d')}.
+Generated by `python BENCH/run_scaling.py --docs {args.docs} --low {args.low} --high {args.high} --repeats {args.repeats} --order {args.order} --cooldown {args.cooldown}` on {time.strftime('%Y-%m-%d')}.
 """
     # raw harness output; BENCH/BASELINE.md is the curated evidence doc
     with open(os.path.join(REPO, "BENCH", args.out), "w") as f:

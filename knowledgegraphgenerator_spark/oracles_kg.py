@@ -456,11 +456,11 @@ onto AS MATERIALIZED (
 """
 
 
-def kg_triples_oracle_sql() -> str:
-    """Full-pipeline triple oracle: (subj, pred, obj) distinct set."""
+def _triples_select() -> str:
+    """The (subj, pred, obj) distinct-set SELECT over ``onto`` — shared
+    by the triple oracle and the KG-graph oracles built on top of it."""
     bot = _q(BOT_NAME)
-    return f"""WITH RECURSIVE {_onto_ctes()}
-SELECT DISTINCT subj, pred, obj FROM (
+    return f"""SELECT DISTINCT subj, pred, obj FROM (
   SELECT question AS subj, 'has_term' AS pred,
          unnest(list_filter(terms, x -> x <> {bot})) AS obj
   FROM onto
@@ -474,6 +474,34 @@ SELECT DISTINCT subj, pred, obj FROM (
                                i -> p[i - 1]))
   FROM (SELECT list_reverse(terms) AS p FROM onto) WHERE len(p) >= 2
 )"""
+
+
+def kg_triples_oracle_sql() -> str:
+    """Full-pipeline triple oracle: (subj, pred, obj) distinct set."""
+    return f"""WITH RECURSIVE {_onto_ctes()}
+{_triples_select()}"""
+
+
+def kg_entity_degree_oracle_sql() -> str:
+    """KG entity-degree oracle: per (object entity, predicate) fact count
+    and distinct-subject count over the full-pipeline triple set —
+    the standard first KG-quality aggregation a consumer runs."""
+    return f"""WITH RECURSIVE {_onto_ctes()},
+triples AS MATERIALIZED ({_triples_select()})
+SELECT obj AS entity, pred,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects
+FROM triples GROUP BY obj, pred"""
+
+
+def kg_two_hop_oracle_sql() -> str:
+    """Two-hop ancestor oracle: the narrower_than edge set self-joined
+    (grandchild -> parent -> grandparent), distinct."""
+    return f"""WITH RECURSIVE {_onto_ctes()},
+triples AS MATERIALIZED ({_triples_select()}),
+nt AS (SELECT subj, obj FROM triples WHERE pred = 'narrower_than')
+SELECT DISTINCT a.subj AS descendant, a.obj AS mid, b.obj AS ancestor
+FROM nt a JOIN nt b ON a.obj = b.subj"""
 
 
 def kg_path_coverage_oracle_sql(threshold: int = 50) -> str:

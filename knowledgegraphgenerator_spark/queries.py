@@ -33,12 +33,20 @@ Coverage map to SURVEY.md §2 (reference file:line cited per query):
                      TF-IDF/RAKE), term_cooccurrence (hierarchy stats)
   scale sketches     neardup_pairs_scale (xxhash minhash → 16x1 LSH →
                      exact verify; decision-level brute-force oracle);
+                     neardup_components (the same chain → connected
+                     components; recursive-CTE min-label oracle);
+                     dup_ngram_fraction (cross-doc duplicated-span
+                     diagnostic, integer per-mille);
                      BENCH_EXTRA: minhash_scale / simhash64_scale /
                      winnow_scale (bench-only — values engine-specific)
   KG pipeline        kg_triples, kg_triples_blocked, kg_ontology — FULL
                      DuckDB oracles (oracles_kg.py: the whole pipeline
                      incl. recursive-CTE masked matching and the G1/G2
                      optimiser in SQL), value-hash gated at sf0.01
+  KG consumption     kg_entity_degree ((obj, pred) degree stats),
+                     kg_two_hop (narrower_than self-join traversal) —
+                     both gated by the pipeline oracle chain extended
+                     with the same aggregation/join in SQL
 """
 
 from __future__ import annotations
@@ -509,6 +517,64 @@ def q_incremental_neardup(spark, sf_dir):
     old = docs.where(F.col("doc_id") % 4 != 0)
     return incremental_neardup_pairs(
         new, old, "text", "doc_id", rows_per_band=1, max_bucket=None
+    )
+
+
+def q_neardup_components(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: the real sketch chain (xxhash64
+    MinHash → 16x1 LSH bands → integer-exact Jaccard verify) feeds
+    large-star/small-star connected components
+    (operators/components.py — Kiveris et al. SOCC'14), giving each doc
+    its dedup-group id (= min doc_id in the group). This puts a DuckDB
+    VALUE oracle on the CC operator itself (previously unit-only): the
+    oracle recomputes the same pairs brute-force and labels them with a
+    recursive-CTE min-label propagation. At 100 TB this is exactly the
+    keep-one-per-cluster step of fuzzy dedup; CC is shuffle-bounded
+    (2 aggs/round) with per-round localCheckpoint lineage cuts."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        connected_components,
+    )
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        lsh_candidate_pairs as lsh_pairs_op,
+        minhash_signatures as minhash_op,
+        token_shingles,
+        verify_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = token_shingles(docs, "text", "doc_id", n=3).persist()
+    sigs = minhash_op(sh, "doc_id", k=16)
+    pairs = lsh_pairs_op(sigs, "doc_id", rows_per_band=1, max_bucket=None)
+    verified = verify_jaccard(pairs, sh, "doc_id", 8, 10)
+    return connected_components(verified, "id_a", "id_b").select(
+        "id", "component"
+    )
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Cross-doc duplicated-span diagnostic (RefinedWeb/Gopher-style
+    'fraction of the document covered by n-grams seen elsewhere'): for
+    each doc, its distinct 3-gram shingle count, how many of those
+    shingles occur in >= 2 docs, and the integer per-mille dup fraction.
+    One shuffle to count shingle document-frequency, one semi-join back,
+    one per-doc agg — no all-pairs work, so it scales where pairwise
+    Jaccard cannot; integer division keeps the oracle float-free."""
+    sh = _shingles(spark, sf_dir)
+    df_counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.expr("(n_dup * 1000) div n_shingles").cast("long"),
+        )
     )
 
 
@@ -1175,6 +1241,50 @@ def q_kg_ontology(spark, sf_dir):
     )
 
 
+def q_kg_entity_degree(spark, sf_dir):
+    """KG consumer query #1: per (object entity, predicate) fact count +
+    distinct-subject count over the full-pipeline triple set — the
+    degree distribution a KG consumer checks first. One shuffle on
+    (obj, pred) after the pipeline; gated by the full-pipeline DuckDB
+    oracle chain extended with the same aggregation
+    (oracles_kg.kg_entity_degree_oracle_sql). At 100 TB this runs off
+    the bucketed triple table (operators/triples.py:
+    write_triples_bucketed_table) without re-running construction."""
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    trip = run_pipeline(docs).triples
+    return trip.groupBy(F.col("obj").alias("entity"), "pred").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("subj").alias("n_subjects"),
+    )
+
+
+def q_kg_two_hop(spark, sf_dir):
+    """KG consumer query #2: two-hop ancestor traversal — the
+    narrower_than edge set self-joined on the shared mid node
+    (grandchild → parent → grandparent), distinct. The join key is the
+    triple SUBJECT, so on the bucketed triple tables (bucketBy(N, subj))
+    the probe side plans with zero Exchange (test_plans pins that); here
+    it runs off the in-memory pipeline output and is gated by the
+    full-pipeline oracle + the same self-join in SQL."""
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    nt = (
+        run_pipeline(docs)
+        .triples.where(F.col("pred") == "narrower_than")
+        .select("subj", "obj")
+    )
+    a = nt.select(F.col("subj").alias("descendant"), F.col("obj").alias("mid"))
+    b = nt.select(F.col("subj").alias("mid"), F.col("obj").alias("ancestor"))
+    return (
+        a.join(b, "mid")
+        .select("descendant", "mid", "ancestor")
+        .distinct()
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_count_threshold": q_term_count_threshold,
     "bigram_count": q_bigram_count,
@@ -1215,11 +1325,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_event_counts": q_hourly_event_counts,
     "sessionize": q_sessionize,
     "neardup_pairs_scale": q_neardup_pairs_scale,
+    "neardup_components": q_neardup_components,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
     "incremental_neardup": q_incremental_neardup,
     "kg_triples": q_kg_triples,
     "kg_triples_blocked": q_kg_triples_blocked,
     "kg_triples_auto": q_kg_triples_auto,
     "kg_ontology": q_kg_ontology,
+    "kg_entity_degree": q_kg_entity_degree,
+    "kg_two_hop": q_kg_two_hop,
     "doc_path_coverage": q_doc_path_coverage,
     "docs_at_root": q_docs_at_root,
 }
@@ -1681,9 +1795,11 @@ ORACLES: dict[str, str] = {
 # rows-only in round 1, three-check gated from round 2 (oracles_kg.py).
 from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
     kg_docs_at_root_oracle_sql,
+    kg_entity_degree_oracle_sql,
     kg_ontology_oracle_sql,
     kg_path_coverage_oracle_sql,
     kg_triples_oracle_sql,
+    kg_two_hop_oracle_sql,
 )
 
 ORACLES["embedding_topk_ivf"] = ORACLES["embedding_topk"]
@@ -1691,5 +1807,47 @@ ORACLES["kg_triples"] = kg_triples_oracle_sql()
 ORACLES["kg_triples_blocked"] = kg_triples_oracle_sql()
 ORACLES["kg_triples_auto"] = kg_triples_oracle_sql()
 ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
+ORACLES["kg_entity_degree"] = kg_entity_degree_oracle_sql()
+ORACLES["kg_two_hop"] = kg_two_hop_oracle_sql()
 ORACLES["doc_path_coverage"] = kg_path_coverage_oracle_sql()
 ORACLES["docs_at_root"] = kg_docs_at_root_oracle_sql()
+
+# Near-dup clusters: brute-force pairs (same SQL as neardup_pairs_scale)
+# labeled by recursive-CTE min-label propagation. In an undirected
+# component the set of nodes reachable from x IS the component, so
+# min(reachable) = the component minimum — the same label
+# large-star/small-star converges to. `edges` is MATERIALIZED: DuckDB
+# 1.0 inlines CTEs, and an inlined CTE referenced from inside a
+# recursive CTE re-evaluates every round.
+ORACLES["neardup_components"] = (
+    f"WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh"
+    " GROUP BY doc_id), "
+    "ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " CAST(count(*) AS BIGINT) AS inter "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS MATERIALIZED ("
+    "SELECT id_a, id_b FROM ix "
+    "JOIN sizes na ON ix.id_a = na.doc_id "
+    "JOIN sizes nb ON ix.id_b = nb.doc_id "
+    "WHERE inter * 10 >= (na.n + nb.n - inter) * 8), "
+    "edges AS MATERIALIZED ("
+    "SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, comp) AS ("
+    "SELECT src, src FROM edges "
+    "UNION SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id) "
+    "SELECT id, min(comp) AS component FROM reach GROUP BY id"
+)
+
+ORACLES["dup_ngram_fraction"] = (
+    f"WITH sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+    "dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh"
+    " GROUP BY shingle) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+    "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, "
+    "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000"
+    " // count(*) AS BIGINT) AS dup_permille "
+    "FROM sh JOIN dfc USING (shingle) GROUP BY doc_id"
+)
