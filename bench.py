@@ -65,6 +65,7 @@ HEADLINE = [
     "lang_id_heuristic",
     "dedup_exact",
     "quality_score",
+    "doc_length_quantiles",
     # curation ops (round 3): PII redaction, Gopher-style repetition
     # cuts, token-budget chunking — all zero-shuffle narrow plans
     "pii_scrub",

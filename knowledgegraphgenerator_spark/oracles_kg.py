@@ -504,6 +504,53 @@ SELECT DISTINCT a.subj AS descendant, a.obj AS mid, b.obj AS ancestor
 FROM nt a JOIN nt b ON a.obj = b.subj"""
 
 
+def kg_pagerank_oracle_sql(iters: int = 3) -> str:
+    """Integer PageRank oracle: the same fixed-k power iteration the
+    Spark query runs, unrolled as CTEs. Integer-only arithmetic
+    (micro-units, nonnegative operands) makes DuckDB `//` and Spark
+    `div` identical, so the match is exact, not rounded."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""c{k} AS (
+  SELECT dst AS entity, sum(pr // outdeg) AS contrib
+  FROM nt JOIN {prev} ON nt.src = {prev}.entity
+  JOIN outdeg USING (src) GROUP BY dst
+),
+pr{k} AS MATERIALIZED (
+  SELECT nodes.entity,
+         150000 // (SELECT n FROM nn)
+           + (85 * coalesce(contrib, 0)) // 100 AS pr
+  FROM nodes LEFT JOIN c{k} USING (entity)
+)"""
+        )
+        prev = f"pr{k}"
+    chain = ",\n".join(steps)
+    return f"""WITH RECURSIVE {_onto_ctes()},
+triples AS MATERIALIZED ({_triples_select()}),
+nt AS MATERIALIZED (
+  SELECT DISTINCT subj AS src, obj AS dst FROM triples
+  WHERE pred = 'narrower_than'
+),
+nodes AS MATERIALIZED (
+  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB 1.0 runs this
+  -- UNION without dedup (observed: 292 rows from 144 distinct)
+  SELECT DISTINCT entity FROM (
+    SELECT src AS entity FROM nt UNION ALL SELECT dst FROM nt
+  )
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM nt GROUP BY src
+),
+pr0 AS (
+  SELECT entity, 1000000 // (SELECT n FROM nn) AS pr FROM nodes
+),
+{chain}
+SELECT entity, CAST(pr AS BIGINT) AS pr FROM {prev}"""
+
+
 def kg_path_coverage_oracle_sql(threshold: int = 50) -> str:
     """Corpus-scale D1 oracle: per-doc path coverage over the full
     pipeline ontology (operators/analyzer.py:doc_path_coverage).

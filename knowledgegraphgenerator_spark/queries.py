@@ -24,7 +24,8 @@ Coverage map to SURVEY.md §2 (reference file:line cited per query):
                      jaccard_pairs, simhash16
   similarity         embedding_topk (brute-force cosine top-k)
   text analysis      lang_id_heuristic, quality_score, token_stats,
-                     token_stats_bpe, winnow_fingerprint
+                     token_stats_bpe, winnow_fingerprint,
+                     doc_length_quantiles (exact type-7 percentiles)
   curation           pii_scrub (sequential redaction + counts),
                      repetition_signals (Gopher-style token-fraction
                      repetition cuts), domain_cap (per-source top-K),
@@ -44,9 +45,11 @@ Coverage map to SURVEY.md §2 (reference file:line cited per query):
                      incl. recursive-CTE masked matching and the G1/G2
                      optimiser in SQL), value-hash gated at sf0.01
   KG consumption     kg_entity_degree ((obj, pred) degree stats),
-                     kg_two_hop (narrower_than self-join traversal) —
-                     both gated by the pipeline oracle chain extended
-                     with the same aggregation/join in SQL
+                     kg_two_hop (narrower_than self-join traversal),
+                     kg_pagerank (integer-arithmetic fixed-k power
+                     iteration, bit-exact cross-engine) — all gated by
+                     the pipeline oracle chain extended with the same
+                     aggregation/join/iteration in SQL
 """
 
 from __future__ import annotations
@@ -1285,6 +1288,84 @@ def q_kg_two_hop(spark, sf_dir):
     )
 
 
+def q_doc_length_quantiles(spark, sf_dir):
+    """Corpus length-distribution check (the first gate a training-data
+    pipeline runs before fixing token budgets): per-language doc count +
+    exact interpolated p50/p90/p99 of document length. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both implement the
+    type-7 interpolated quantile, so the values agree to float
+    round-off; rounded once to 4dp on both sides. Exact percentile is a
+    full sort per group — at 100 TB swap in approx_percentile (t-digest)
+    and drop the oracle to a tolerance check; the GROUPED exact form
+    here shuffles only (lang, n_chars) pairs, not documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99D)"), 4).alias("p99"),
+    )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """KG consumer query #3: entity importance by PageRank over the
+    narrower_than graph (child → parent, so mass accumulates at
+    ancestors), 3 power iterations. All arithmetic is INTEGER
+    (micro-units, total mass 10^6; teleport 0.15; dangling mass
+    dropped): both engines use only nonnegative integer div, so the
+    DuckDB oracle (the same 3 iterations unrolled as CTEs) matches
+    bit-for-bit — no float-summation-order hazard. Each iteration is
+    one equi-join + one aggregation; the iterate is localCheckpointed
+    so lineage stays bounded (same pattern as operators/components.py),
+    which is what lets a fixed-k power iteration run at 100 TB node
+    counts."""
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    nt = (
+        run_pipeline(docs)
+        .triples.where(F.col("pred") == "narrower_than")
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        nt.select(F.col("src").alias("entity"))
+        .union(nt.select(F.col("dst").alias("entity")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "entity string, pr long")
+    outdeg = nt.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = nodes.withColumn("pr", F.lit(1_000_000 // n).cast("long"))
+    tele = 150_000 // n
+    for _ in range(3):
+        contrib = (
+            nt.join(pr, nt["src"] == pr["entity"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                F.expr("pr div outdeg").alias("c"),
+            )
+            .groupBy("entity")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, "entity", "left")
+            .select(
+                "entity",
+                (
+                    F.lit(tele)
+                    + F.expr("85 * coalesce(contrib, 0L) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_count_threshold": q_term_count_threshold,
     "bigram_count": q_bigram_count,
@@ -1310,6 +1391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_urls": q_canonical_urls,
     "quality_score": q_quality_score,
     "token_stats": q_token_stats,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "winnow_fingerprint": q_winnow_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rake_keywords": q_rake_keywords,
@@ -1334,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ontology": q_kg_ontology,
     "kg_entity_degree": q_kg_entity_degree,
     "kg_two_hop": q_kg_two_hop,
+    "kg_pagerank": q_kg_pagerank,
     "doc_path_coverage": q_doc_path_coverage,
     "docs_at_root": q_docs_at_root,
 }
@@ -1797,6 +1880,7 @@ from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
     kg_docs_at_root_oracle_sql,
     kg_entity_degree_oracle_sql,
     kg_ontology_oracle_sql,
+    kg_pagerank_oracle_sql,
     kg_path_coverage_oracle_sql,
     kg_triples_oracle_sql,
     kg_two_hop_oracle_sql,
@@ -1809,6 +1893,7 @@ ORACLES["kg_triples_auto"] = kg_triples_oracle_sql()
 ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
 ORACLES["kg_entity_degree"] = kg_entity_degree_oracle_sql()
 ORACLES["kg_two_hop"] = kg_two_hop_oracle_sql()
+ORACLES["kg_pagerank"] = kg_pagerank_oracle_sql()
 ORACLES["doc_path_coverage"] = kg_path_coverage_oracle_sql()
 ORACLES["docs_at_root"] = kg_docs_at_root_oracle_sql()
 
@@ -1839,6 +1924,17 @@ ORACLES["neardup_components"] = (
     "SELECT src, src FROM edges "
     "UNION SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id) "
     "SELECT id, min(comp) AS component FROM reach GROUP BY id"
+)
+
+# Type-7 interpolated quantile in both engines (Spark `percentile`,
+# DuckDB `quantile_cont`); one round(4) on each side absorbs float
+# round-off between the two interpolation implementations.
+ORACLES["doc_length_quantiles"] = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "round(quantile_cont(n_chars, 0.5), 4) AS p50, "
+    "round(quantile_cont(n_chars, 0.9), 4) AS p90, "
+    "round(quantile_cont(n_chars, 0.99), 4) AS p99 "
+    "FROM documents GROUP BY lang"
 )
 
 ORACLES["dup_ngram_fraction"] = (
