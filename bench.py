@@ -109,7 +109,11 @@ def main() -> None:
         first = time.perf_counter() - t0
         rows[name] = n
         # sub-2s queries are scheduler-latency-bound and noisy on a
-        # co-tenant box: report the median of 3 runs for those
+        # co-tenant box: report the median of 3 runs for those.
+        # Larger queries get a second run and the MIN: the host has
+        # multi-minute slow phases (up to 2x wall on identical work —
+        # BENCH/BASELINE.md "host phase noise"), and min-of-2 halves
+        # the odds a phase is reported as a code regression.
         if first < 2.0:
             samples = [first]
             for _ in range(2):
@@ -119,7 +123,10 @@ def main() -> None:
             samples.sort()
             timings[name] = round(samples[1], 3)
         else:
-            timings[name] = round(first, 3)
+            t0 = time.perf_counter()
+            _run(ALL[name](spark, sf_dir))
+            second = time.perf_counter() - t0
+            timings[name] = round(min(first, second), 3)
 
     # throughput on the flagship: docs/sec and triples/sec
     import pyspark.sql.functions as F  # noqa: N812
@@ -158,7 +165,9 @@ def main() -> None:
                     ),
                     "protocol": (
                         "one sf0.001 warmup; queries <2s report "
-                        "median-of-3, others a single run"
+                        "median-of-3, others min-of-2 (host slow-phase "
+                        "guard, r3; r2 used a single run for large "
+                        "queries)"
                     ),
                     "semantics_rev": (
                         "r2 extraction semantics (reference-verbatim "
