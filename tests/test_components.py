@@ -35,6 +35,38 @@ def test_star_and_cycle(spark):
     assert labels[7] == labels[8] == labels[9] == 7
 
 
+def test_random_graphs_match_union_find(spark):
+    """Randomized differential: large-star/small-star labels must equal
+    a pure-python union-find (union-by-min keeps every root the
+    component minimum, the same label convention) on Erdos-Renyi-ish
+    graphs spanning sparse fragments to near-connected."""
+    import random
+
+    for seed, n, m in ((1, 60, 30), (7, 60, 80), (42, 40, 120)):
+        rnd = random.Random(seed)
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(m)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({x for e in edges for x in e})
+        expected = {v: find(v) for v in nodes}
+
+        assert _labels(spark, edges) == expected, f"seed={seed}"
+
+
 def test_deterministic_under_partitioning(spark):
     edges = [(i, (i * 7) % 40 + 40) for i in range(40)]
     df1 = spark.createDataFrame(edges, "id_a long, id_b long").repartition(1)
