@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_exact",
     "quality_score",
     "doc_length_quantiles",
+    "quantiles_scale",
     # curation ops (round 3): PII redaction, Gopher-style repetition
     # cuts, token-budget chunking — all zero-shuffle narrow plans
     "pii_scrub",

@@ -1307,6 +1307,20 @@ def q_doc_length_quantiles(spark, sf_dir):
     )
 
 
+def q_quantiles_scale(spark, sf_dir):
+    """Bench-only: the 100 TB path for doc_length_quantiles —
+    ``approx_percentile`` (mergeable quantile sketch, combines in
+    partial aggregates, no per-group sort). Approximate values →
+    no cross-engine oracle; the exact twin above is the oracled one."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.expr(
+            "approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("pcts"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_kg_pagerank(spark, sf_dir):
     """KG consumer query #3: entity importance by PageRank over the
     narrower_than graph (child → parent, so mass accumulates at
@@ -1429,6 +1443,7 @@ BENCH_EXTRA: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_scale": q_minhash_scale,
     "simhash64_scale": q_simhash64_scale,
     "winnow_scale": q_winnow_scale,
+    "quantiles_scale": q_quantiles_scale,
 }
 
 
