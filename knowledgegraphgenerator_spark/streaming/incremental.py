@@ -77,6 +77,56 @@ def incremental_normalize(
     q.awaitTermination()
 
 
+def incremental_kg_triples(
+    spark: SparkSession,
+    source_dir: str,
+    dictionary,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming KG ENRICHMENT: new web-page files → normalize → link
+    against a FROZEN ranked dictionary → per-doc ontology triples,
+    appended exactly once (stream checkpoint = processed-file ledger).
+
+    Production KG maintenance splits vocabulary REFRESH (periodic batch
+    over the accumulated corpus — term statistics are corpus-global,
+    see module docstring) from document enrichment (this): a doc's
+    triples depend only on the doc and the frozen dictionary, so the
+    whole stream plan is map-only — broadcast matcher, no aggregation,
+    no watermark, no state — and append mode is exact, not approximate.
+    The hierarchy optimiser (G1/G2) is deliberately absent here: it
+    reads corpus-wide path statistics, so it belongs to the batch
+    refresh, which rewrites the optimised graph from the accumulated
+    ontology (plans/runner.py stages).
+    """
+    from knowledgegraphgenerator_spark.functions.udfs import normalize_text_udf
+    from knowledgegraphgenerator_spark.operators.linking import link_terms
+    from knowledgegraphgenerator_spark.operators.triples import (
+        ontology_triples,
+    )
+
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(source_dir)
+    )
+    normalized = stream.select(
+        "doc_id",
+        F.col("text").alias("question"),
+        normalize_text_udf(F.col("text"), F.col("lang")).alias("norm_text"),
+    )
+    onto = link_terms(normalized, dictionary)
+    trips = ontology_triples(onto)
+    q = (
+        trips.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_sessionize_stream(
     spark: SparkSession,
     source_dir: str,

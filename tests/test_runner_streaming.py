@@ -90,6 +90,68 @@ def test_resumable_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert t2.count() == n1
 
 
+def test_incremental_kg_triples_stream(spark, tmp_path):
+    """Streaming enrichment == batch link+triples on the same docs with
+    the same frozen dictionary, and a second file drop appends exactly
+    the new docs' triples (checkpoint ledger, no reprocessing)."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.core.stopwords import (
+        resolve_stop_words,
+    )
+    from knowledgegraphgenerator_spark.operators import linking, phrases
+    from knowledgegraphgenerator_spark.operators.triples import (
+        ontology_triples,
+    )
+    from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_kg_triples,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = _corpus(spark).select(
+        "doc_id",
+        F.concat(F.lit("https://x/"), F.col("doc_id")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text", "lang",
+    )
+    first = corpus.where("doc_id <= 10020")
+    first.write.mode("overwrite").parquet(src)
+
+    # dictionary frozen from the FIRST batch (vocabulary refresh is a
+    # separate batch job — the stream only enriches)
+    stops = resolve_stop_words("en", None)
+    first_norm = normalize_corpus(
+        first.select("doc_id", "text", "lang")
+    ).persist()
+    frames = phrases.build_dictionary_frames(
+        first_norm, stops, "doc_id", "norm_text"
+    )
+    dictionary = phrases.collect_ranked_dictionary(dict(frames), stops)
+
+    def batch_triples(docs):
+        normalized = normalize_corpus(docs.select("doc_id", "text", "lang"))
+        return ontology_triples(linking.link_terms(normalized, dictionary))
+
+    def multiset(df):
+        return sorted(tuple(r) for r in df.select(
+            "subj", "pred", "obj").collect())
+
+    incremental_kg_triples(spark, src, dictionary, tgt, ckpt)
+    assert multiset(spark.read.parquet(tgt)) == multiset(
+        batch_triples(first)
+    )
+
+    # second file drop: frozen dictionary, only new docs processed
+    corpus.where("doc_id > 10020").write.mode("append").parquet(src)
+    incremental_kg_triples(spark, src, dictionary, tgt, ckpt)
+    assert multiset(spark.read.parquet(tgt)) == multiset(
+        batch_triples(corpus)
+    )
+
+
 def test_incremental_normalize_exactly_once(spark, tmp_path):
     import pyspark.sql.functions as F
 
