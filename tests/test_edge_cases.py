@@ -56,6 +56,31 @@ def test_null_and_empty_text(spark):
     assert all(ts[-1] == BOT_NAME for ts in got.values())
 
 
+def test_degenerate_corpus_new_queries(spark, tmp_path):
+    """Round-3 queries on a degenerate 2-doc corpus (below every
+    threshold, docs too short for shingles): graph/dedup queries return
+    EMPTY (not crash — the empty-graph guard in kg_pagerank, empty
+    edge-set CC, no shingles), scalar stats still produce rows."""
+    from knowledgegraphgenerator_spark.queries import QUERIES
+
+    sf = str(tmp_path)
+    rows = [
+        (1, "alpha beta", "en", "s", 10),
+        (2, "gamma delta", "en", "s", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    for name in ("kg_pagerank", "kg_two_hop", "neardup_components",
+                 "dup_ngram_fraction"):
+        assert QUERIES[name](spark, sf).count() == 0, name
+    # runs without error; only fallback tags / root rows exist
+    QUERIES["kg_entity_degree"](spark, sf).collect()
+    assert QUERIES["doc_length_quantiles"](spark, sf).count() == 1
+
+
 def test_mixed_language_gate(spark):
     rows = [
         (1, "How do I transfer money?", "en"),
