@@ -131,11 +131,20 @@ def main() -> None:
     eff_median = (_median(lo_secs) / _median(hi_secs)) / ideal
     eff_pair_median = _median(pair_effs)
 
-    rows = "\n".join(
-        f"| {i} | {runs[args.low][i]['sec']} | {runs[args.high][i]['sec']} |"
-        f" {pair_effs[i]:.3f} |"
-        for i in range(args.repeats)
-    )
+    # In blocked order the rows are not temporal pairs — print the raw
+    # times but no per-row ratio (median-of-times is the statistic).
+    if args.order == "interleaved":
+        rows = "\n".join(
+            f"| {i} | {runs[args.low][i]['sec']} |"
+            f" {runs[args.high][i]['sec']} | {pair_effs[i]:.3f} |"
+            for i in range(args.repeats)
+        )
+    else:
+        rows = "\n".join(
+            f"| {i} | {runs[args.low][i]['sec']} |"
+            f" {runs[args.high][i]['sec']} | — |"
+            for i in range(args.repeats)
+        )
     order_note = (
         "levels interleaved (lo, hi, lo, hi, ...) so co-tenant noise "
         "hits both evenly"
@@ -146,6 +155,13 @@ def main() -> None:
         "a lo run poisons a following hi run (~+60% wall), an artifact "
         "that cannot exist between two real separate clusters; see "
         "BENCH/BASELINE.md 'cross-run poisoning'"
+    )
+    pair_lines = (
+        f"- efficiency, median of per-pair ratios: "
+        f"**{eff_pair_median:.3f}**\n"
+        f"- efficiency, best-of-{args.repeats}: **{eff_best:.3f}**\n"
+        if args.order == "interleaved"
+        else ""
     )
     md = f"""# BENCH/SCALING_RUN — raw scaling evidence
 
@@ -160,10 +176,8 @@ Fresh JVM per run; warmup pass excluded from timing; {order_note}.
 {rows}
 
 - ideal speedup {args.low}→{args.high}: {ideal:.0f}x
-- efficiency, median-of-times: **{eff_median:.3f}**
-- efficiency, median of per-pair ratios: **{eff_pair_median:.3f}**
-- efficiency, best-of-{args.repeats}: **{eff_best:.3f}** (criterion: >= 0.8)
-- best docs/sec: local[{args.low}] {lo['docs_per_sec']:,} → local[{args.high}] {hi['docs_per_sec']:,}
+- efficiency, median-of-times: **{eff_median:.3f}** (criterion: >= 0.8)
+{pair_lines}- best docs/sec: local[{args.low}] {lo['docs_per_sec']:,} → local[{args.high}] {hi['docs_per_sec']:,}
 - triples emitted: {hi['triples']:,}
 
 Generated by `python BENCH/run_scaling.py --docs {args.docs} --low {args.low} --high {args.high} --repeats {args.repeats} --order {args.order} --cooldown {args.cooldown}` on {time.strftime('%Y-%m-%d')}.
