@@ -13,6 +13,13 @@ plus the web-corpus subcommand.
   python -m knowledgegraphgenerator_spark analyze \\
       --file_path ao_output.json [--language en]
 
+  python -m knowledgegraphgenerator_spark dictionary \\
+      --input /path/web_pages_parquet --output /path/dict_parquet
+
+  python -m knowledgegraphgenerator_spark stream \\
+      --source /path/incoming --dictionary /path/dict_parquet \\
+      --output /path/triples --checkpoint /path/ckpt
+
 For cluster runs: zip the package (scripts/package.sh) and
 ``spark-submit --py-files kg_spark.zip run_kg.py ...`` — the module only
 uses SparkSession.builder, no local-mode assumptions.
@@ -58,7 +65,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     syn.add_argument("--file_path", required=True)
     syn.add_argument("--output_path", default="generated_synonyms.csv")
 
-    for p in (faq, corpus, an, syn):
+    dd = sub.add_parser(
+        "dictionary",
+        help="vocabulary refresh: corpus parquet → dictionary parquet "
+             "(the frozen artifact stream enrichment links against)",
+    )
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--language", default="en")
+
+    st = sub.add_parser(
+        "stream",
+        help="streaming KG enrichment: new web-page files → triples, "
+             "linked against a frozen dictionary parquet, exactly-once",
+    )
+    st.add_argument("--source", required=True)
+    st.add_argument("--dictionary", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--language", default="en")
+
+    for p in (faq, corpus, an, syn, dd, st):
         p.add_argument("--v", action="store_true", help="verbose")
 
     args = ap.parse_args(argv)
@@ -112,6 +139,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
 
             write_triples(triples, args.output)
+        elif args.cmd == "dictionary":
+            from knowledgegraphgenerator_spark.core.stopwords import (
+                resolve_stop_words,
+            )
+            from knowledgegraphgenerator_spark.operators import phrases
+            from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+
+            stops = resolve_stop_words(args.language, None)
+            normalized = normalize_corpus(spark.read.parquet(args.input))
+            frames = phrases.build_dictionary_frames(
+                normalized, stops, "doc_id", "norm_text"
+            )
+            phrases.save_dictionary(dict(frames), args.output)
+        elif args.cmd == "stream":
+            from knowledgegraphgenerator_spark.core.stopwords import (
+                resolve_stop_words,
+            )
+            from knowledgegraphgenerator_spark.operators.phrases import (
+                load_ranked_dictionary,
+            )
+            from knowledgegraphgenerator_spark.streaming.incremental import (
+                incremental_kg_triples,
+            )
+
+            stops = resolve_stop_words(args.language, None)
+            dictionary = load_ranked_dictionary(
+                spark, args.dictionary, stops
+            )
+            incremental_kg_triples(
+                spark, args.source, dictionary, args.output,
+                args.checkpoint,
+            )
         elif args.cmd == "synonyms":
             from knowledgegraphgenerator_spark.operators.word2vec import (
                 synonym_generation_master,

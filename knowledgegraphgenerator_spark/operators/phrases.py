@@ -233,3 +233,24 @@ def ranked_dictionary_from_rows(
         verbs=ranked(by_kind["verbs"]),
         stop_tokens=stop_tokens,
     )
+
+
+def save_dictionary(frames: dict[str, DataFrame], path: str) -> None:
+    """Persist the dictionary sections as one parquet table
+    (kind, term, cnt, fs_doc, fs_pos) — the production vocabulary
+    artifact: the periodic batch refresh writes it, enrichment jobs
+    (streaming/incremental.py:incremental_kg_triples) load it. The
+    ranking keys (cnt + first-seen position) are stored, not the rank,
+    so a load reproduces most_common order exactly."""
+    union_dictionary_frames(frames).write.mode("overwrite").parquet(path)
+
+
+def load_ranked_dictionary(
+    spark, path: str, stop_tokens: frozenset[str]
+) -> "RankedDictionary":
+    """Load a save_dictionary() artifact into the broadcastable ranked
+    form. The collect is vocabulary-bounded (same regime as the
+    broadcast linking path)."""
+    return ranked_dictionary_from_rows(
+        spark.read.parquet(path).collect(), stop_tokens
+    )

@@ -81,3 +81,52 @@ def test_cli_corpus_with_resume(spark, tmp_path):
          "--resume-root", str(tmp_path / "stages")], spark=spark,
     )
     assert rc == 0
+
+
+def test_cli_dictionary_and_stream(spark, tmp_path):
+    """Production maintenance loop through the CLI: vocabulary refresh
+    writes the dictionary artifact; the stream subcommand enriches new
+    files against it; a save/load round trip reproduces the directly
+    collected ranking exactly."""
+    from knowledgegraphgenerator_spark.core.stopwords import (
+        resolve_stop_words,
+    )
+    from knowledgegraphgenerator_spark.operators import phrases
+    from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+    from knowledgegraphgenerator_spark.sources.webpages import (
+        synthetic_web_pages,
+    )
+
+    src = str(tmp_path / "pages")
+    corpus = synthetic_web_pages(spark, 200, n_partitions=4).select(
+        "doc_id", "url", "warc_ts", "text", "lang"
+    )
+    corpus.write.mode("overwrite").parquet(src)
+    dict_path = str(tmp_path / "dict")
+
+    rc = main(
+        ["dictionary", "--input", src, "--output", dict_path],
+        spark=spark,
+    )
+    assert rc == 0
+
+    # round trip == direct collect (ranking keys stored, not ranks)
+    stops = resolve_stop_words("en", None)
+    frames = phrases.build_dictionary_frames(
+        normalize_corpus(spark.read.parquet(src)), stops,
+        "doc_id", "norm_text",
+    )
+    direct = phrases.collect_ranked_dictionary(dict(frames), stops)
+    loaded = phrases.load_ranked_dictionary(spark, dict_path, stops)
+    assert loaded.phrases == direct.phrases
+    assert loaded.unigrams == direct.unigrams
+    assert loaded.verbs == direct.verbs
+
+    out = str(tmp_path / "trip_out")
+    rc = main(
+        ["stream", "--source", src, "--dictionary", dict_path,
+         "--output", out, "--checkpoint", str(tmp_path / "ckpt")],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0

@@ -186,3 +186,59 @@ def test_bucketed_triple_table_joins_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_trip_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ent_bucketed")
+
+
+def test_two_hop_on_bucketed_table_single_exchange(spark):
+    """The kg_two_hop self-join shape off the bucketed triple table
+    (queries.py:q_kg_two_hop docstring claim): side b joins on subj
+    (the bucket key → NO Exchange); side a joins on obj (not the bucket
+    key → exactly one Exchange). One shuffle instead of two is the
+    bucketing payoff for every-query graph traversal."""
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_triples_bucketed_table,
+    )
+
+    trip = spark.createDataFrame(
+        [(f"n{i}", "narrower_than", f"n{i // 3}") for i in range(1, 300)],
+        "subj string, pred string, obj string",
+    )
+    write_triples_bucketed_table(trip, "t_twohop_bucketed", n_buckets=8)
+    try:
+        nt = spark.table("t_twohop_bucketed").where(
+            "pred = 'narrower_than'"
+        ).select("subj", "obj")
+        a = nt.select(
+            nt["subj"].alias("descendant"), nt["obj"].alias("mid")
+        )
+        b = nt.select(
+            nt["subj"].alias("mid"), nt["obj"].alias("ancestor")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "mid").select(
+                "descendant", "mid", "ancestor"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 1, plan
+            # values equal the un-bucketed two-hop
+            base = trip.select("subj", "obj")
+            expect = sorted(
+                tuple(r)
+                for r in base.select(
+                    base["subj"].alias("descendant"),
+                    base["obj"].alias("mid"),
+                ).join(
+                    base.select(
+                        base["subj"].alias("mid"),
+                        base["obj"].alias("ancestor"),
+                    ),
+                    "mid",
+                ).select("descendant", "mid", "ancestor").collect()
+            )
+            got = sorted(tuple(r) for r in joined.collect())
+            assert got == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_twohop_bucketed")
