@@ -110,7 +110,13 @@ def incremental_kg_triples(
         .option("maxFilesPerTrigger", 64)
         .parquet(source_dir)
     )
-    normalized = stream.select(
+    normalized = stream.where(
+        # rows with no identity or no text cannot be enriched; dropping
+        # them here also makes a source dir containing foreign parquet
+        # (schema-mismatched files project to all-NULL rows) a no-op
+        # instead of a stream of null docs
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
         "doc_id",
         F.col("text").alias("question"),
         normalize_text_udf(F.col("text"), F.col("lang")).alias("norm_text"),
