@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--resume-root", required=True)
     ap.add_argument("--language", default="en")
     ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--linking", default="auto",
+                    choices=["auto", "broadcast", "blocked"])
     args = ap.parse_args()
 
     spark = (
@@ -44,7 +46,8 @@ def main() -> None:
 
     corpus = spark.read.parquet(args.input)
     triples = run_resumable_pipeline(
-        spark, corpus, args.resume_root, args.language
+        spark, corpus, args.resume_root, args.language,
+        linking_strategy=args.linking,
     )
     write_triples(triples, args.output, n_buckets=args.buckets)
     spark.stop()

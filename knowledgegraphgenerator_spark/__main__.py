@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     corpus.add_argument("--output", required=True)
     corpus.add_argument("--language", default="en")
     corpus.add_argument("--resume-root", default=None)
+    corpus.add_argument("--linking", default="auto",
+                        choices=["auto", "broadcast", "blocked"])
 
     an = sub.add_parser("analyze", help="diagnostics over an export JSON")
     an.add_argument("--file_path", required=True)
@@ -128,12 +130,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
 
                 triples = run_resumable_pipeline(
-                    spark, df, args.resume_root, args.language
+                    spark, df, args.resume_root, args.language,
+                    linking_strategy=args.linking,
                 )
             else:
                 from knowledgegraphgenerator_spark.pipeline import run_pipeline
 
-                triples = run_pipeline(df, lang=args.language).triples
+                triples = run_pipeline(
+                    df, lang=args.language, linking=args.linking
+                ).triples
             from knowledgegraphgenerator_spark.operators.triples import (
                 write_triples,
             )

@@ -161,10 +161,20 @@ def run_resumable_pipeline(
     root: str,
     lang: str = "en",
     stop_words: list[str] | None = None,
+    linking_strategy: str = "auto",
+    broadcast_term_limit: int = 2_000_000,
 ) -> DataFrame:
     """The KG pipeline staged through the runner: normalized → features →
     dictionary tables → ontology → triples, each stage committed and
-    resumable. Returns the triples DataFrame."""
+    resumable. Returns the triples DataFrame.
+
+    ``linking_strategy`` mirrors pipeline.run_pipeline: 'broadcast'
+    collects the ranked dictionary to the driver; 'blocked' keeps it on
+    the cluster (the dictionary-beyond-broadcast regime — without this
+    the DEPLOYMENT entry point would OOM the driver exactly at the
+    10^12-doc design point it exists for); 'auto' probes once
+    (limit+1 collect — the probe rows double as the dictionary when
+    broadcast wins, so choosing costs no extra job)."""
     from knowledgegraphgenerator_spark.core.stopwords import resolve_stop_words
     from knowledgegraphgenerator_spark.operators import (
         hierarchy, linking, phrases, triples,
@@ -208,16 +218,43 @@ def run_resumable_pipeline(
         lambda c: phrases.sections_from_counted(c)["verbs"],
         input_df=dict_counts,
     )
-    dictionary = phrases.collect_ranked_dictionary(
-        {"phrases": phrases_df, "unigrams": unigrams_df, "verbs": verbs_df},
-        stops,
-    )
+    if linking_strategy not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"unknown linking strategy: {linking_strategy!r}")
+    frames = {
+        "phrases": phrases_df, "unigrams": unigrams_df, "verbs": verbs_df
+    }
+    use_blocked = linking_strategy == "blocked"
+    probe_rows = None
+    if linking_strategy == "auto":
+        probe_rows = (
+            phrases.union_dictionary_frames(frames)
+            .limit(broadcast_term_limit + 1)
+            .collect()
+        )
+        use_blocked = len(probe_rows) > broadcast_term_limit
+
+    if use_blocked:
+        def link(n):
+            return linking.link_terms_blocked(
+                n, frames, stops,
+                id_col="doc_id", raw_col="question", norm_col="norm_text",
+            )
+    else:
+        if probe_rows is not None:
+            dictionary = phrases.ranked_dictionary_from_rows(
+                probe_rows, stops
+            )
+        else:
+            dictionary = phrases.collect_ranked_dictionary(frames, stops)
+
+        def link(n):
+            return linking.link_terms(
+                n, dictionary, "doc_id", "question", "norm_text"
+            )
+
     ontology = runner.run_stage(
         "ontology",
-        lambda n: hierarchy.optimise_graph(
-            linking.link_terms(n, dictionary,
-                               "doc_id", "question", "norm_text")
-        ),
+        lambda n: hierarchy.optimise_graph(link(n)),
         input_df=normalized,
     )
     return runner.run_stage(

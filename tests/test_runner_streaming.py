@@ -90,6 +90,29 @@ def test_resumable_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert t2.count() == n1
 
 
+def test_resumable_pipeline_linking_strategies(spark, tmp_path):
+    """The deployment entry point must support the dictionary-beyond-
+    broadcast regime: blocked and auto-forced-blocked (tiny probe
+    limit) must equal the broadcast path triple-for-triple through the
+    staged runner."""
+    corpus = _corpus(spark)
+
+    def run(strategy, root, **kw):
+        df = run_resumable_pipeline(
+            spark, corpus, str(tmp_path / root),
+            linking_strategy=strategy, **kw
+        )
+        return sorted(
+            tuple(r) for r in df.select("subj", "pred", "obj").collect()
+        )
+
+    base = run("broadcast", "s_broadcast")
+    assert len(base) > 0
+    assert run("blocked", "s_blocked") == base
+    # limit+1 probe overflows -> auto must switch itself to blocked
+    assert run("auto", "s_auto", broadcast_term_limit=3) == base
+
+
 def test_incremental_kg_triples_stream(spark, tmp_path):
     """Streaming enrichment == batch link+triples on the same docs with
     the same frozen dictionary, and a second file drop appends exactly
