@@ -86,6 +86,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     st.add_argument("--output", required=True)
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--language", default="en")
+    st.add_argument("--linking", default="broadcast",
+                    choices=["broadcast", "blocked"])
 
     for p in (faq, corpus, an, syn, dd, st):
         p.add_argument("--v", action="store_true", help="verbose")
@@ -161,21 +163,36 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from knowledgegraphgenerator_spark.core.stopwords import (
                 resolve_stop_words,
             )
-            from knowledgegraphgenerator_spark.operators.phrases import (
-                load_ranked_dictionary,
-            )
-            from knowledgegraphgenerator_spark.streaming.incremental import (
-                incremental_kg_triples,
-            )
 
             stops = resolve_stop_words(args.language, None)
-            dictionary = load_ranked_dictionary(
-                spark, args.dictionary, stops
-            )
-            incremental_kg_triples(
-                spark, args.source, dictionary, args.output,
-                args.checkpoint,
-            )
+            if args.linking == "blocked":
+                from knowledgegraphgenerator_spark.operators.phrases import (
+                    load_dictionary_frames,
+                )
+                from knowledgegraphgenerator_spark.streaming.incremental import (
+                    incremental_kg_triples_blocked,
+                )
+
+                incremental_kg_triples_blocked(
+                    spark, args.source,
+                    load_dictionary_frames(spark, args.dictionary),
+                    stops, args.output, args.checkpoint,
+                )
+            else:
+                from knowledgegraphgenerator_spark.operators.phrases import (
+                    load_ranked_dictionary,
+                )
+                from knowledgegraphgenerator_spark.streaming.incremental import (
+                    incremental_kg_triples,
+                )
+
+                dictionary = load_ranked_dictionary(
+                    spark, args.dictionary, stops
+                )
+                incremental_kg_triples(
+                    spark, args.source, dictionary, args.output,
+                    args.checkpoint,
+                )
         elif args.cmd == "synonyms":
             from knowledgegraphgenerator_spark.operators.word2vec import (
                 synonym_generation_master,

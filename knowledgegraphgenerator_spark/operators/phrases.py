@@ -254,3 +254,21 @@ def load_ranked_dictionary(
     return ranked_dictionary_from_rows(
         spark.read.parquet(path).collect(), stop_tokens
     )
+
+
+def load_dictionary_frames(spark, path: str) -> dict[str, DataFrame]:
+    """Load a save_dictionary() artifact back into section DataFrames —
+    the CLUSTER-side form the token-block linking fallback consumes
+    when the dictionary is beyond broadcast (no driver collect)."""
+    df = spark.read.parquet(path)
+    out: dict[str, DataFrame] = {}
+    for kind in ("phrases", "unigrams", "verbs"):
+        out[kind] = df.where(F.col("kind") == kind).select(
+            "term",
+            "cnt",
+            F.struct(
+                F.col("fs_doc").alias("doc_id"),
+                F.col("fs_pos").alias("pos"),
+            ).alias("first_seen"),
+        )
+    return out

@@ -133,6 +133,67 @@ def incremental_kg_triples(
     q.awaitTermination()
 
 
+def incremental_kg_triples_blocked(
+    spark: SparkSession,
+    source_dir: str,
+    dictionary_frames,
+    stop_tokens: frozenset[str],
+    target_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming enrichment for the dictionary-BEYOND-BROADCAST regime:
+    the frozen vocabulary stays on the cluster as section DataFrames
+    (operators/phrases.py:load_dictionary_frames) and each micro-batch
+    links via the token-block equi-join (link_terms_blocked) inside
+    ``foreachBatch`` — joins against static frames are batch-context
+    operations, so the fallback matcher runs unchanged.
+
+    Exactly-once: each batch OVERWRITES its own ``batch_id=N``
+    subdirectory — a retried batch rewrites the same directory instead
+    of appending duplicates (the standard idempotent-foreachBatch
+    pattern). Readers see batch_id as a partition column.
+    """
+    from knowledgegraphgenerator_spark.functions.udfs import normalize_text_udf
+    from knowledgegraphgenerator_spark.operators.linking import (
+        link_terms_blocked,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        ontology_triples,
+    )
+
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(source_dir)
+    )
+    normalized = stream.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        F.col("text").alias("question"),
+        normalize_text_udf(F.col("text"), F.col("lang")).alias("norm_text"),
+    )
+
+    def _link_batch(batch_df, batch_id: int) -> None:
+        onto = link_terms_blocked(
+            batch_df, dictionary_frames, stop_tokens,
+            id_col="doc_id", raw_col="question", norm_col="norm_text",
+        )
+        (
+            ontology_triples(onto)
+            .write.mode("overwrite")
+            .parquet(f"{target_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        normalized.writeStream.foreachBatch(_link_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_sessionize_stream(
     spark: SparkSession,
     source_dir: str,

@@ -175,6 +175,61 @@ def test_incremental_kg_triples_stream(spark, tmp_path):
     )
 
 
+def test_incremental_kg_blocked_stream_matches_broadcast(spark, tmp_path):
+    """The beyond-broadcast streaming variant (foreachBatch token-block
+    linking over cluster-side dictionary frames, idempotent batch_id
+    partitions) must emit the same triples as the broadcast stream,
+    through a full save_dictionary/load_dictionary_frames round trip."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.core.stopwords import (
+        resolve_stop_words,
+    )
+    from knowledgegraphgenerator_spark.operators import phrases
+    from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_kg_triples,
+        incremental_kg_triples_blocked,
+    )
+
+    src = str(tmp_path / "src")
+    dict_path = str(tmp_path / "dict")
+    corpus = _corpus(spark).select(
+        "doc_id",
+        F.concat(F.lit("https://x/"), F.col("doc_id")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text", "lang",
+    )
+    corpus.write.mode("overwrite").parquet(src)
+
+    stops = resolve_stop_words("en", None)
+    frames = phrases.build_dictionary_frames(
+        normalize_corpus(corpus.select("doc_id", "text", "lang")),
+        stops, "doc_id", "norm_text",
+    )
+    phrases.save_dictionary(dict(frames), dict_path)
+
+    def multiset(df):
+        return sorted(
+            tuple(r) for r in df.select("subj", "pred", "obj").collect()
+        )
+
+    incremental_kg_triples(
+        spark, src,
+        phrases.load_ranked_dictionary(spark, dict_path, stops),
+        str(tmp_path / "tgt_b"), str(tmp_path / "ckpt_b"),
+    )
+    incremental_kg_triples_blocked(
+        spark, src,
+        phrases.load_dictionary_frames(spark, dict_path), stops,
+        str(tmp_path / "tgt_k"), str(tmp_path / "ckpt_k"),
+    )
+    broadcast_out = multiset(spark.read.parquet(str(tmp_path / "tgt_b")))
+    blocked_out = multiset(spark.read.parquet(str(tmp_path / "tgt_k")))
+    assert blocked_out == broadcast_out
+    assert len(blocked_out) > 0
+
+
 def test_incremental_normalize_exactly_once(spark, tmp_path):
     import pyspark.sql.functions as F
 
