@@ -302,15 +302,23 @@ def mod_stratified_sample(
     mod: int = 1000,
 ) -> DataFrame:
     """Deterministic stratified sampling: keep a row iff
-    ``(id * 48271) mod 1000 < rate(stratum)`` (MINSTD multiplicative
-    scrambling so adjacent ids don't stripe; 48271 keeps id*mult inside
-    int64 for any id < 1.9e14, ANSI-overflow-safe at 100 TB id ranges).
-    No RNG, reproducible on any engine, exact expected rates for
-    uniformly distributed ids."""
+    ``pmod(pmod(id, P) * 48271, mod) < rate(stratum)`` with
+    P = 1_000_000_007 (prime). The modular reduction FIRST bounds the
+    multiplicand below 1e9, so the MINSTD multiplicative scramble (48271,
+    so adjacent ids don't stripe) stays < 5e13 — overflow-free under ANSI
+    mode for the FULL int64 id range, including negative
+    ``xxhash64(url)`` ids (ADVICE r3 #4; the previous ``id * 48271``
+    overflowed past |id| ~ 1.9e14). pmod keeps buckets non-negative for
+    negative ids, matching the oracle's explicit ``((x % P) + P) % P``.
+    No RNG, reproducible on any engine; rate bias vs the nominal
+    permille is bounded by mod/P ≈ 1e-6 for ids uniform over int64."""
     rate = F.lit(default_permille)
     for stratum, permille in sorted(rates_permille.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(permille)).otherwise(
             rate
         )
-    bucket = F.pmod(F.col(id_col) * F.lit(48271), F.lit(mod))
+    prime = 1_000_000_007
+    bucket = F.pmod(
+        F.pmod(F.col(id_col), F.lit(prime)) * F.lit(48271), F.lit(mod)
+    )
     return df.where(bucket < rate)

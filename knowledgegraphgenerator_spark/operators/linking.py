@@ -163,6 +163,7 @@ def link_terms_blocked(
     raw_col: str = "question",
     norm_col: str = "norm_text",
     prune_doc_keys: bool = True,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Token-block + verify linking: no driver collect, no Python
     broadcast of the dictionary (VERDICT r1 'Next round' #1).
@@ -183,6 +184,15 @@ def link_terms_blocked(
     when even the key-hash set outgrows broadcast (≳100M distinct lead
     keys — Heaps-law ≫ the 2M-term auto threshold); the join then relies
     on AQE skew handling alone, as in round 2.
+
+    ``cleanup`` (ADVICE r3 #2): the operator persists the tokenized docs
+    and broadcasts the stop set; both outlive the returned (lazy)
+    DataFrame, so the operator cannot release them itself. Pass a list
+    and the operator appends zero-arg release callables — the caller
+    invokes them AFTER its terminal action (the streaming wrapper does so
+    per micro-batch; ``run_pipeline`` exposes them via
+    ``KGResult.close()``). Without a list the resources live until
+    session teardown, which is what a long-lived stream must avoid.
     """
     from knowledgegraphgenerator_spark.functions.udfs import match_tokens_udf
 
@@ -194,6 +204,9 @@ def link_terms_blocked(
         F.col(raw_col).alias("question"),
         match_tokens_udf(F.col(norm_col)).alias("ltoks"),
     ).persist()
+    if cleanup is not None:
+        cleanup.append(lambda: docs.unpersist())
+        cleanup.append(lambda: bc_stop.destroy())
 
     # per-doc DISTINCT block keys: every lemma token + every adjacent pair
     doc_keys = doc_block_keys(docs)

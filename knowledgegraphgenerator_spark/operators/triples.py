@@ -27,8 +27,20 @@ from knowledgegraphgenerator_spark.config import BOT_NAME
 TRIPLE_SCHEMA = "subj string, pred string, obj string"
 
 
-def ontology_triples(onto: DataFrame) -> DataFrame:
-    """(doc_id, question, terms, tags) -> has_term/has_tag/narrower_than."""
+def ontology_triples(
+    onto: DataFrame, row_local_dedup: bool = False
+) -> DataFrame:
+    """(doc_id, question, terms, tags) -> has_term/has_tag/narrower_than.
+
+    ``row_local_dedup`` (ADVICE r3 #3): the default corpus-global
+    ``.distinct()`` on the narrower_than branch is correct for batch but
+    becomes a stateful ``Deduplicate`` with UNBOUNDED cross-batch state
+    inside a streaming query. Streaming callers set True: edges are
+    deduplicated WITHIN each row via ``array_distinct`` (zero state, the
+    plan stays map-only), and the cross-document dedup is deferred to the
+    consumer / the periodic batch vocabulary refresh, which rewrites the
+    graph anyway. The emitted triple SET is identical; only the
+    narrower_than multiplicity differs."""
     has_term = onto.select(
         F.col("question").alias("subj"),
         F.lit("has_term").alias("pred"),
@@ -43,24 +55,24 @@ def ontology_triples(onto: DataFrame) -> DataFrame:
     )
     # sequence(1, 0) counts DOWN in Spark — guard the single-node (root
     # only) path explicitly.
+    edges = F.expr(
+        "transform(sequence(1, size(terms) - 1), i -> "
+        "struct(reverse(terms)[i] as child,"
+        " reverse(terms)[i - 1] as parent))"
+    )
+    if row_local_dedup:
+        edges = F.array_distinct(edges)
     narrower = (
         onto.filter(F.size("terms") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(terms) - 1), i -> "
-                    "struct(reverse(terms)[i] as child,"
-                    " reverse(terms)[i - 1] as parent))"
-                )
-            ).alias("e")
-        )
+        .select(F.explode(edges).alias("e"))
         .select(
             F.col("e.child").alias("subj"),
             F.lit("narrower_than").alias("pred"),
             F.col("e.parent").alias("obj"),
         )
-        .distinct()
     )
+    if not row_local_dedup:
+        narrower = narrower.distinct()
     return has_term.unionByName(has_tag).unionByName(narrower)
 
 

@@ -32,6 +32,15 @@ class KGResult:
     ontology: DataFrame
     triples: DataFrame
     dictionary_sizes: dict[str, int] = field(default_factory=dict)
+    _cleanup: list = field(default_factory=list, repr=False)
+
+    def close(self) -> None:
+        """Release caches/broadcasts the pipeline holds for its result
+        DataFrames (ADVICE r3 #2). Call after the terminal action; the
+        DataFrames stay valid (unpersist only drops the cache)."""
+        for fn in self._cleanup:
+            fn()
+        self._cleanup.clear()
 
 
 def normalize_corpus(
@@ -161,7 +170,9 @@ def run_pipeline(
     # the narrow normalized projection. The feature arrays are consumed
     # by FOUR downstream actions (3 ranked collects + the dedup join), so
     # cache them too or the chunker pass re-runs per action.
+    cleanup: list = []
     normalized = normalized.persist()
+    cleanup.append(lambda: normalized.unpersist())
     features = phrases.extract_doc_features(
         normalized, stops, id_col="doc_id", text_col="norm_text"
     ).persist()
@@ -191,10 +202,15 @@ def run_pipeline(
         use_blocked = len(probe_rows) > broadcast_term_limit
 
     if use_blocked:
+        # blocked linking reads features/counted through the frames —
+        # their caches are released by KGResult.close(), not here
+        cleanup.append(lambda: features.unpersist())
+        cleanup.append(lambda: counted.unpersist())
         onto = linking_ops.link_terms_blocked(
             normalized, frames, stops,
             id_col="doc_id", raw_col="question", norm_col="norm_text",
             prune_doc_keys=blocked_prune,
+            cleanup=cleanup,
         )
         if probe_rows is not None:
             sizes: dict[str, int] = {}
@@ -221,9 +237,11 @@ def run_pipeline(
         )
     # persisted: triples reads the ontology from three plan branches
     onto = hierarchy.optimise_graph(onto, primaries).persist()
+    cleanup.append(lambda: onto.unpersist())
     trip = triples.build_triples(onto, synonyms=synonyms, altq=altq)
     return KGResult(
         ontology=onto,
         triples=trip,
         dictionary_sizes=dictionary_sizes,
+        _cleanup=cleanup,
     )

@@ -1658,8 +1658,11 @@ ORACLES: dict[str, str] = {
         ") WHERE rn <= 20"
     ),
     "stratified_sample": (
+        # pmod spelled explicitly (((x % P) + P) % P) so negative ids
+        # agree with Spark's pmod — DuckDB's % is sign-preserving
         "SELECT doc_id, lang, source FROM documents"
-        " WHERE (doc_id * 48271) % 1000 < CASE"
+        " WHERE ((((doc_id % 1000000007) + 1000000007) % 1000000007)"
+        " * 48271) % 1000 < CASE"
         " WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 500"
         " ELSE 700 END"
     ),

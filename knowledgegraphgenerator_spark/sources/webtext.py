@@ -10,6 +10,19 @@ web_pages schema (BASELINE.json input_hint):
 with ``doc_id = xxhash64(url)`` — deterministic at any parallelism, no
 global id assignment.
 
+Id-collision bound (ADVICE r3 #5): a 64-bit id over n distinct urls
+expects ~n²/2⁶⁵ birthday collisions — negligible at the 10⁸-doc
+benchmark slice (~3e-4 expected) but ~3e4 at the 10¹²-doc design point,
+each silently merging two documents' features under one id. For
+corpus-scale ingest pass ``wide_id=True``: ``doc_id`` stays the 64-bit
+join/bucket key (cheap shuffles, bucketed layout unchanged) and a second
+independent hash ``doc_id2 = xxhash64(url, 0x9E3779B9)`` (the constant
+mixed in as a second hashed value) rides
+along, so (doc_id, doc_id2) is an effectively 128-bit identity
+(expected collisions ~n²/2¹²⁹ ≈ 1e-15 at 10¹² docs). Stages that merge
+per-doc state compare both columns; everything keyed only on doc_id is
+unaffected.
+
 Scale posture:
 - EXPLICIT schema: ``spark.read.json`` without one runs a schema-
   inference scan over the whole input before the real read — 2x IO at
@@ -36,12 +49,21 @@ JSONL_SCHEMA = (
 )
 
 
-def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
+#: second-hash seed for the wide (128-bit) identity; any constant other
+#: than xxhash64's default seed (42) gives an independent hash family
+WIDE_ID_SEED = 0x9E3779B9
+
+
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, wide_id: bool = False
+) -> DataFrame:
     """Read a JSONL crawl extract into the canonical web_pages shape.
 
     Rows without a ``url`` are dropped (no stable identity → no
     deterministic doc_id); malformed JSON lines are dropped by the
-    reader itself.
+    reader itself. ``wide_id`` appends the independent second hash
+    column ``doc_id2`` for 128-bit identity at the 10¹²-doc design
+    point (collision bound in the module docstring).
     """
     raw = (
         spark.read.schema(JSONL_SCHEMA)
@@ -49,14 +71,16 @@ def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
         .json(path)
     )
-    return (
-        raw.where(F.col("url").isNotNull())
-        .select(
-            F.xxhash64("url").alias("doc_id"),
-            "url",
-            "warc_ts",
-            F.unbase64(F.col("html_b64")).alias("html"),
-            "text",
-            "lang",
+    cols = [
+        F.xxhash64("url").alias("doc_id"),
+        F.col("url"),
+        F.col("warc_ts"),
+        F.unbase64(F.col("html_b64")).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    ]
+    if wide_id:
+        cols.insert(
+            1, F.xxhash64("url", F.lit(WIDE_ID_SEED)).alias("doc_id2")
         )
-    )
+    return raw.where(F.col("url").isNotNull()).select(*cols)

@@ -94,6 +94,15 @@ def incremental_kg_triples(
     triples depend only on the doc and the frozen dictionary, so the
     whole stream plan is map-only — broadcast matcher, no aggregation,
     no watermark, no state — and append mode is exact, not approximate.
+    To keep it map-only the narrower_than edges are deduplicated
+    ROW-LOCALLY (``ontology_triples(row_local_dedup=True)``): the batch
+    path's corpus-global ``.distinct()`` would be a stateful
+    ``Deduplicate`` with unbounded cross-batch state here (ADVICE r3
+    #3). Consequence: the emitted triple SET equals the batch path's,
+    but duplicate narrower_than rows may appear across documents —
+    identical semantics to the blocked streaming variant below, which
+    dedups per batch; consumers of the raw append stream read triples
+    as a set, and the periodic batch refresh rewrites the exact graph.
     The hierarchy optimiser (G1/G2) is deliberately absent here: it
     reads corpus-wide path statistics, so it belongs to the batch
     refresh, which rewrites the optimised graph from the accumulated
@@ -122,7 +131,7 @@ def incremental_kg_triples(
         normalize_text_udf(F.col("text"), F.col("lang")).alias("norm_text"),
     )
     onto = link_terms(normalized, dictionary)
-    trips = ontology_triples(onto)
+    trips = ontology_triples(onto, row_local_dedup=True)
     q = (
         trips.writeStream.format("parquet")
         .option("path", target_dir)
@@ -152,6 +161,14 @@ def incremental_kg_triples_blocked(
     subdirectory — a retried batch rewrites the same directory instead
     of appending duplicates (the standard idempotent-foreachBatch
     pattern). Readers see batch_id as a partition column.
+
+    Resource hygiene (ADVICE r3 #2): link_terms_blocked persists the
+    tokenized batch and broadcasts the stop set per call; over a
+    long-lived stream those accumulate. Each batch passes a ``cleanup``
+    list and releases both right after its write completes, so executor
+    cache/broadcast footprint stays O(one batch). Dedup semantics match
+    the broadcast stream: row-local narrower_than dedup plus the batch
+    write's own distinct-per-batch — never cross-batch state.
     """
     from knowledgegraphgenerator_spark.functions.udfs import normalize_text_udf
     from knowledgegraphgenerator_spark.operators.linking import (
@@ -175,15 +192,21 @@ def incremental_kg_triples_blocked(
     )
 
     def _link_batch(batch_df, batch_id: int) -> None:
+        cleanup: list = []
         onto = link_terms_blocked(
             batch_df, dictionary_frames, stop_tokens,
             id_col="doc_id", raw_col="question", norm_col="norm_text",
+            cleanup=cleanup,
         )
-        (
-            ontology_triples(onto)
-            .write.mode("overwrite")
-            .parquet(f"{target_dir}/batch_id={batch_id}")
-        )
+        try:
+            (
+                ontology_triples(onto, row_local_dedup=True)
+                .write.mode("overwrite")
+                .parquet(f"{target_dir}/batch_id={batch_id}")
+            )
+        finally:
+            for fn in cleanup:
+                fn()
 
     q = (
         normalized.writeStream.foreachBatch(_link_batch)

@@ -120,10 +120,34 @@ def test_mod_stratified_sample_deterministic(spark):
     # every kept row satisfies the arithmetic predicate exactly
     for i in out1[:50]:
         rate = 100 if i % 2 == 0 else 900
-        assert (i * 48271) % 1000 < rate
+        assert (i % 1_000_000_007 * 48271) % 1000 < rate
     assert "Exchange" not in _plan(
         mod_stratified_sample(df, "doc_id", "lang", {"en": 100}, 900)
     )
+
+
+def test_mod_stratified_sample_full_int64_ids(spark):
+    """xxhash64(url) doc ids span the FULL int64 range, negatives
+    included; the bucketing must neither overflow under ANSI mode nor
+    disagree with the pure-Python pmod reference (ADVICE r3 #4 — the
+    old ``id * 48271`` threw past |id| ~ 1.9e14)."""
+    ids = [
+        -(2 ** 63), 2 ** 63 - 1, -1, 0, 1,
+        -987_654_321_987_654_321, 123_456_789_123_456_789,
+    ]
+    df = spark.createDataFrame(
+        [(i, "en") for i in ids], "doc_id long, lang string"
+    )
+    kept = {
+        r.doc_id
+        for r in mod_stratified_sample(
+            df, "doc_id", "lang", {"en": 500}
+        ).collect()
+    }
+    p = 1_000_000_007
+    expect = {i for i in ids if (i % p * 48271) % 1000 < 500}
+    assert kept == expect
+    assert kept  # the predicate keeps ~half; all-drop would hide overflow
 
 
 def test_chunk_by_tokens_boundaries(spark):

@@ -78,6 +78,37 @@ def test_stage_runner_no_readback_job(spark, tmp_path):
     assert all(r["input_rows"] == len(FAQ_QUESTIONS) for r in lin)
 
 
+def test_stage_runner_remote_fs_branch(spark, tmp_path, monkeypatch):
+    """On a non-local resume root (hdfs:///s3a://) the runner cannot
+    ``os.listdir``: markers must go through the Hadoop FileSystem API and
+    output counts through the one-job input_file_name readback (ADVICE r3
+    #1). Exercised by forcing the remote branch onto Hadoop's
+    LocalFileSystem — the same JVM code path a real hdfs:// root takes."""
+    from knowledgegraphgenerator_spark.plans import runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "_is_local_path", lambda p: False)
+    root = str(tmp_path / "stages_remote")
+    runner = StageRunner(spark, root)
+    runner.run_stage(
+        "stage_r", lambda c: c, input_df=_corpus(spark).coalesce(3)
+    )
+    # marker written via Hadoop FS; is_committed reads it back via FS API
+    assert runner.is_committed("stage_r")
+    assert os.path.exists(os.path.join(root, "stage_r", "_SUCCESS_STAGE"))
+    lin = [r for r in runner.lineage().collect() if r["stage"] == "stage_r"]
+    assert sorted(r["partition_id"] for r in lin) == [0, 1, 2]
+    assert sum(r["output_rows"] for r in lin) == len(FAQ_QUESTIONS)
+    # resume still skips the committed stage through the FS-API marker
+    calls = {"n": 0}
+
+    def build(c):
+        calls["n"] += 1
+        return c
+
+    runner.run_stage("stage_r", build, input_df=_corpus(spark))
+    assert calls["n"] == 0
+
+
 def test_resumable_pipeline_end_to_end_and_resume(spark, tmp_path):
     root = str(tmp_path / "kg")
     corpus = _corpus(spark)
@@ -156,7 +187,12 @@ def test_incremental_kg_triples_stream(spark, tmp_path):
 
     def batch_triples(docs):
         normalized = normalize_corpus(docs.select("doc_id", "text", "lang"))
-        return ontology_triples(linking.link_terms(normalized, dictionary))
+        # row_local_dedup mirrors the stream's map-only plan (ADVICE r3
+        # #3) — the comparison stays an exact multiset equality
+        return ontology_triples(
+            linking.link_terms(normalized, dictionary),
+            row_local_dedup=True,
+        )
 
     def multiset(df):
         return sorted(tuple(r) for r in df.select(
@@ -228,6 +264,35 @@ def test_incremental_kg_blocked_stream_matches_broadcast(spark, tmp_path):
     blocked_out = multiset(spark.read.parquet(str(tmp_path / "tgt_k")))
     assert blocked_out == broadcast_out
     assert len(blocked_out) > 0
+
+
+def test_ontology_triples_row_local_dedup_same_set(spark):
+    """row_local_dedup=True (the streaming-safe, stateless plan) must
+    emit the same triple SET as the batch corpus-global distinct; only
+    narrower_than multiplicity across docs may differ."""
+    from knowledgegraphgenerator_spark.operators.triples import (
+        ontology_triples,
+    )
+
+    onto = spark.createDataFrame(
+        [
+            (1, "q one", ["KG", "parent a", "child x"], ["t1"]),
+            (2, "q two", ["KG", "parent a", "child x"], ["t1", "t2"]),
+            (3, "q three", ["KG"], []),
+        ],
+        "doc_id long, question string, terms array<string>, "
+        "tags array<string>",
+    )
+    batch = {
+        tuple(r) for r in ontology_triples(onto)
+        .select("subj", "pred", "obj").collect()
+    }
+    stream_safe = ontology_triples(onto, row_local_dedup=True)
+    assert {
+        tuple(r) for r in stream_safe.select("subj", "pred", "obj").collect()
+    } == batch
+    # and the plan carries no corpus-global Deduplicate on any branch
+    assert "Deduplicate" not in stream_safe._jdf.queryExecution().analyzed().toString()
 
 
 def test_incremental_normalize_exactly_once(spark, tmp_path):

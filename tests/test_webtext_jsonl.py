@@ -62,3 +62,23 @@ def test_jsonl_doc_id_deterministic(spark, tmp_path):
         ).select("url", F.xxhash64("url").alias("h")).collect()
     )
     assert ids1 == expect
+
+
+def test_jsonl_wide_id_independent_second_hash(spark, tmp_path):
+    """wide_id=True appends doc_id2 — an independent second hash so the
+    (doc_id, doc_id2) pair is an effectively 128-bit identity at the
+    10^12-doc design point (ADVICE r3 #5)."""
+    path = _write_fixture(tmp_path)
+    df = read_jsonl_corpus(spark, path, wide_id=True)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "doc_id2", "url", "warc_ts", "html", "text", "lang",
+    ]
+    rows = df.select("doc_id", "doc_id2").collect()
+    assert len(rows) == 2
+    # the two hashes never agree (independent families) and both are
+    # deterministic across re-reads
+    assert all(r["doc_id"] != r["doc_id2"] for r in rows)
+    again = read_jsonl_corpus(spark, path, wide_id=True).select(
+        "doc_id", "doc_id2"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
