@@ -322,3 +322,92 @@ def mod_stratified_sample(
         F.pmod(F.col(id_col), F.lit(prime)) * F.lit(48271), F.lit(mod)
     )
     return df.where(bucket < rate)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL (the C4/suffix-dedup *drop*
+    step, Raffel et al. 2020 §2.2 / Lee et al. 2022 — the diagnostic
+    twin is queries.q_dup_ngram_fraction): delete every NON-CANONICAL
+    occurrence of any ``k``-token sliding span whose shingle occurs
+    ``>= min_repeats`` times corpus-wide. The canonical keeper is the
+    globally first occurrence by ``(doc_id, pos)``; a token is removed
+    iff some duplicate occurrence covers it (marks are computed in ONE
+    pass against the ORIGINAL text — no cascading re-evaluation).
+
+    -> (doc_id, clean_text, tokens_removed, bytes_removed) where
+    clean_text rejoins the surviving tokens with single spaces and
+    bytes_removed is measured on that canonical space-joined form.
+
+    Scale shape (never all-pairs):
+      1. explode sliding spans           narrow (array transform)
+      2. groupBy(shingle)                1 shuffle, partial-agg map-side;
+         -> (occ, first occurrence)      min(struct) is a plain reduce
+      3. join spans x repeated shingles  equi-join on shingle; hot
+                                         boilerplate shingles are exactly
+                                         the skew AQE skew-join splits
+      4. groupBy(doc_id) removal starts  1 shuffle, vocabulary of
+                                         positions bounded per doc
+      5. left-join docs + array filter   narrow rebuild, no explode
+    At 100 TB steps 2-4 would run over ``xxhash64(shingle)`` instead of
+    the string (the string form here keeps the DuckDB oracle exact; a
+    collision merely merges two spans' counts, biasing toward removal).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    spans = (
+        toks.where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {k}), i -> "
+                    f"struct(i as pos,"
+                    f" concat_ws(' ', slice(toks, i + 1, {k})) as shingle))"
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", F.col("sp.pos").alias("pos"),
+                F.col("sp.shingle").alias("shingle"))
+    )
+    repeated = (
+        spans.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        )
+        .where(F.col("occ") >= min_repeats)
+    )
+    dup_starts = (
+        spans.join(repeated, "shingle")
+        .where(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    kept = F.expr(
+        f"filter(toks, (x, i) -> starts IS NULL"
+        f" OR NOT exists(starts, s -> i >= s AND i < s + {k}))"
+    )
+    return (
+        toks.join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            (F.size("toks") - F.size(kept)).cast("long")
+            .alias("tokens_removed"),
+            (
+                F.length(F.concat_ws(" ", "toks"))
+                - F.length(F.concat_ws(" ", kept))
+            ).cast("long").alias("bytes_removed"),
+        )
+    )

@@ -584,6 +584,22 @@ def q_dup_ngram_fraction(spark, sf_dir):
     )
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Curation: corpus-wide duplicated-span REMOVAL (C4-style drop of
+    every non-canonical occurrence of a repeated 3-token span) — the
+    *removal* twin of the dup_ngram_fraction diagnostic. Decision-level
+    output (cleaned text + per-doc bytes removed) is value-gated; the
+    operator docstring (operators/curation.py:remove_duplicate_spans)
+    carries the scale shape (shingle groupBy + equi-join, no all-pairs).
+    """
+    from knowledgegraphgenerator_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(d, "text", "doc_id", k=3, min_repeats=2)
+
+
 def q_minhash_scale(spark, sf_dir):
     """Bench-only: the xxhash64 minhash operator itself (k=16), no
     dense-id parity window (values are engine-specific -> no oracle)."""
@@ -1426,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_pairs_scale": q_neardup_pairs_scale,
     "neardup_components": q_neardup_components,
     "dup_ngram_fraction": q_dup_ngram_fraction,
+    "dup_span_removal": q_dup_span_removal,
     "incremental_neardup": q_incremental_neardup,
     "kg_triples": q_kg_triples,
     "kg_triples_blocked": q_kg_triples_blocked,
@@ -1956,6 +1973,44 @@ ORACLES["doc_length_quantiles"] = (
     "round(quantile_cont(n_chars, 0.9), 4) AS p90, "
     "round(quantile_cont(n_chars, 0.99), 4) AS p99 "
     "FROM documents GROUP BY lang"
+)
+
+ORACLES["dup_span_removal"] = (
+    # span positions via parallel-unnest zipping (generate_series is not
+    # lateral in DuckDB 1.0); canonical keeper = row_number 1 over
+    # (doc_id, pos), matching Spark's min(struct(doc_id, pos))
+    "WITH toks AS MATERIALIZED ("
+    " SELECT doc_id, string_split(text, ' ') AS s FROM documents), "
+    "spans AS MATERIALIZED ("
+    " SELECT doc_id, unnest(generate_series(0, len(s) - 3)) AS pos,"
+    " unnest(list_transform("
+    "   list_zip(s[1:len(s)-2], s[2:len(s)-1], s[3:]),"
+    "   x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle"
+    " FROM toks WHERE len(s) >= 3), "
+    "marked AS MATERIALIZED ("
+    " SELECT doc_id, pos, count(*) OVER (PARTITION BY shingle) AS occ,"
+    " row_number() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn"
+    " FROM spans), "
+    "dup AS MATERIALIZED ("
+    " SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rn > 1), "
+    "tokpos AS MATERIALIZED ("
+    " SELECT doc_id, unnest(generate_series(1, len(s))) AS p,"
+    " unnest(s) AS tok FROM toks), "
+    "keptagg AS ("
+    " SELECT t.doc_id,"
+    " coalesce(string_agg(t.tok, ' ' ORDER BY t.p), '') AS clean_text,"
+    " CAST(count(t.tok) AS BIGINT) AS nk"
+    " FROM tokpos t LEFT JOIN ("
+    "   SELECT DISTINCT t2.doc_id, t2.p FROM tokpos t2"
+    "   JOIN dup d ON t2.doc_id = d.doc_id"
+    "   AND t2.p BETWEEN d.pos + 1 AND d.pos + 3) r"
+    " ON t.doc_id = r.doc_id AND t.p = r.p"
+    " WHERE r.p IS NULL GROUP BY t.doc_id) "
+    "SELECT toks.doc_id, coalesce(k.clean_text, '') AS clean_text, "
+    "CAST(len(s) - coalesce(k.nk, 0) AS BIGINT) AS tokens_removed, "
+    "CAST(length(array_to_string(s, ' '))"
+    " - length(coalesce(k.clean_text, '')) AS BIGINT) AS bytes_removed "
+    "FROM toks LEFT JOIN keptagg k USING (doc_id)"
 )
 
 ORACLES["dup_ngram_fraction"] = (

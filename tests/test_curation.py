@@ -213,3 +213,100 @@ def test_canonical_urls_branches(spark):
     # single-label host falls back to itself
     assert out[5].registered_domain == "localhost"
     assert "Exchange" not in _plan(canonical_urls(df))
+
+
+def _seq_remove_dup_spans(docs, k=3, min_repeats=2):
+    """Sequential reference for remove_duplicate_spans: dict-and-loop
+    implementation with the same one-pass semantics (marks computed
+    against the original text; canonical keeper = first (doc_id, pos))."""
+    spans = []  # (doc_id, pos, shingle) in doc order
+    toks = {d: t.split(" ") for d, t in docs}
+    for doc_id, _ in docs:
+        t = toks[doc_id]
+        for i in range(len(t) - k + 1):
+            spans.append((doc_id, i, " ".join(t[i:i + k])))
+    occ = {}
+    for doc_id, pos, sh in spans:
+        occ.setdefault(sh, []).append((doc_id, pos))
+    removed = {d: set() for d, _ in docs}
+    for sh, occs in occ.items():
+        if len(occs) < min_repeats:
+            continue
+        for doc_id, pos in sorted(occs)[1:]:
+            removed[doc_id].update(range(pos, pos + k))
+    out = {}
+    for doc_id, _ in docs:
+        t = toks[doc_id]
+        kept = [x for i, x in enumerate(t) if i not in removed[doc_id]]
+        clean = " ".join(kept)
+        out[doc_id] = (
+            clean, len(t) - len(kept), len(" ".join(t)) - len(clean)
+        )
+    return out
+
+
+def test_remove_duplicate_spans_differential(spark):
+    """Spark operator == sequential reference on a corpus engineered to
+    hit: cross-doc dup (keeper in the lowest doc), within-doc dup,
+    overlapping marked spans, a fully-removed doc, short docs (< k
+    tokens), and unique text."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "intro words the quick brown fox jumps again here"),
+        (3, "a b c x y a b c z w"),          # within-doc repeat
+        (4, "the quick brown fox"),           # covered by doc-1 spans
+        (5, "tiny doc"),                      # < k tokens: untouched
+        (6, "completely unique sentence nothing shared at all"),
+        (7, "the quick brown"),               # exactly k, dup of doc 1
+    ]
+    expect = _seq_remove_dup_spans(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["tokens_removed"], r["bytes_removed"]
+        )
+        for r in remove_duplicate_spans(df).collect()
+    }
+    assert got == expect
+    # sanity on the engineered cases themselves
+    assert expect[1][1] == 0              # canonical keeper untouched
+    assert expect[5] == ("tiny doc", 0, 0)
+    assert expect[6][1] == 0
+    assert expect[7] == ("", 3, len("the quick brown"))  # fully removed
+
+
+def test_remove_duplicate_spans_randomized_differential(spark):
+    """Randomized corpus (seeded): heavy boilerplate overlap across 40
+    docs — the Spark plan and the sequential dict reference must agree
+    everywhere."""
+    import random
+
+    from knowledgegraphgenerator_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = "subscribe to our newsletter for updates"
+    docs = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.5:
+            at = rng.randint(0, max(len(words) - 1, 0))
+            words[at:at] = boiler.split(" ")
+        docs.append((d, " ".join(words) if words else "x"))
+    expect = _seq_remove_dup_spans(docs)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["tokens_removed"], r["bytes_removed"]
+        )
+        for r in remove_duplicate_spans(df).collect()
+    }
+    assert got == expect
+    # the boilerplate must actually have been cut somewhere
+    assert sum(v[1] for v in expect.values()) > 0
