@@ -86,8 +86,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     st.add_argument("--output", required=True)
     st.add_argument("--checkpoint", required=True)
     st.add_argument("--language", default="en")
-    st.add_argument("--linking", default="broadcast",
-                    choices=["broadcast", "blocked"])
+    st.add_argument("--linking", default="auto",
+                    choices=["auto", "broadcast", "blocked"])
 
     for p in (faq, corpus, an, syn, dd, st):
         p.add_argument("--v", action="store_true", help="verbose")
@@ -165,7 +165,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
 
             stops = resolve_stop_words(args.language, None)
-            if args.linking == "blocked":
+            if args.linking == "auto":
+                # probe the artifact once; safe at any dictionary size
+                from knowledgegraphgenerator_spark.streaming.incremental import (  # noqa: E501
+                    incremental_kg_triples_auto,
+                )
+
+                chosen = incremental_kg_triples_auto(
+                    spark, args.source, args.dictionary, stops,
+                    args.output, args.checkpoint,
+                )
+                if args.v:
+                    print(f"stream linking strategy: {chosen}")
+            elif args.linking == "blocked":
                 from knowledgegraphgenerator_spark.operators.phrases import (
                     load_dictionary_frames,
                 )

@@ -123,3 +123,65 @@ def canonicalize_terms(
             F.coalesce("component", F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def ancestor_closure(
+    edges: DataFrame, max_depth: int = 25
+) -> DataFrame:
+    """Transitive ancestor closure of a child→parent edge set — the
+    graph-scale generalization of the reference's in-memory tree walk
+    (`/root/reference/analyzer/ontology_analyzer.py:175-188`, which
+    follows anytree parent pointers per node).
+
+    ``edges``: (subj, obj) rows, child → parent. Returns
+    (descendant, ancestor, depth) with depth = MINIMUM hop count —
+    frontier BFS discovers each pair exactly once, at its shortest
+    distance, because every round's frontier is anti-joined against the
+    accumulated closure before expanding.
+
+    Scale shape (same discipline as kg_pagerank / connected_components):
+      * one equi-join on the subject key per round — on tables bucketed
+        by subj (write_triples_bucketed_table) that join plans with
+        zero Exchange on the bucketed side;
+      * one anti-join on the (descendant, ancestor) pair key per round,
+        bounded by the closure size (paths in a hierarchy, not pairs of
+        nodes²: the closure of a forest has |V|·avg_depth rows);
+      * rounds = graph diameter (hierarchy depth, single digits for KG
+        term trees), each round ``localCheckpoint``-ed so lineage stays
+        flat at 10^12-node scale;
+      * ``max_depth`` caps pathological cycles — the DuckDB oracle
+        carries the identical cap, so both engines agree even on
+        non-DAG input.
+    """
+    nt = edges.select(
+        F.col("subj").alias("descendant"), F.col("obj").alias("ancestor")
+    ).distinct()
+    closure = nt.withColumn(
+        "depth", F.lit(1).cast("long")
+    ).localCheckpoint()
+    frontier = closure
+    hop = nt.select(
+        F.col("descendant").alias("mid"), F.col("ancestor").alias("nxt")
+    )
+    depth = 1
+    while depth < max_depth:
+        step = (
+            frontier.join(hop, frontier["ancestor"] == hop["mid"])
+            .select("descendant", F.col("nxt").alias("ancestor"))
+            .distinct()
+        )
+        new = (
+            step.join(
+                closure.select("descendant", "ancestor"),
+                ["descendant", "ancestor"],
+                "left_anti",
+            )
+            .withColumn("depth", F.lit(depth + 1).cast("long"))
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint()
+        frontier = new
+        depth += 1
+    return closure

@@ -141,7 +141,21 @@ def write_triples_bucketed_table(
     ``bucket(N, subj)`` table spec (SURVEY.md §7.4): at 100 TB the
     triple store is joined against itself (path expansion) and against
     entity tables keyed by subj every query — pre-bucketing converts
-    those from full shuffles into local sort-merge joins."""
+    those from full shuffles into local sort-merge joins.
+
+    Idempotent across SESSIONS, not just runs: a fresh metastore does
+    not know about a previous session's managed-table directory, and
+    ``mode("overwrite")`` then fails with LOCATION_ALREADY_EXISTS — so
+    any orphaned location is removed (via the Hadoop FileSystem API,
+    which also covers non-local warehouses) after the DROP."""
+    spark = triples.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table)
+    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     (
         triples.write.mode("overwrite")
         .format("parquet")

@@ -504,6 +504,30 @@ SELECT DISTINCT a.subj AS descendant, a.obj AS mid, b.obj AS ancestor
 FROM nt a JOIN nt b ON a.obj = b.subj"""
 
 
+def kg_ancestor_closure_oracle_sql(max_depth: int = 25) -> str:
+    """Transitive ancestor-closure oracle: recursive CTE over the
+    narrower_than edges with min-hop depth. UNION (not UNION ALL)
+    deduplicates (descendant, ancestor, depth) rows per round; the
+    depth cap mirrors operators/components.py:ancestor_closure exactly,
+    so both engines agree even on non-DAG input. ``nt`` is MATERIALIZED
+    — DuckDB 1.0 inlines CTEs, and an inlined CTE referenced from
+    inside a recursive member re-evaluates every recursion round."""
+    return f"""WITH RECURSIVE {_onto_ctes()},
+triples AS MATERIALIZED ({_triples_select()}),
+nt AS MATERIALIZED (
+  SELECT subj, obj FROM triples WHERE pred = 'narrower_than'
+),
+closure(descendant, ancestor, depth) AS (
+  SELECT subj, obj, 1 FROM nt
+  UNION
+  SELECT c.descendant, nt.obj, c.depth + 1
+  FROM closure c JOIN nt ON c.ancestor = nt.subj
+  WHERE c.depth < {max_depth}
+)
+SELECT descendant, ancestor, CAST(min(depth) AS BIGINT) AS depth
+FROM closure GROUP BY descendant, ancestor"""
+
+
 def kg_pagerank_oracle_sql(iters: int = 3) -> str:
     """Integer PageRank oracle: the same fixed-k power iteration the
     Spark query runs, unrolled as CTEs. Integer-only arithmetic

@@ -1307,6 +1307,64 @@ def q_kg_two_hop(spark, sf_dir):
     )
 
 
+def q_kg_two_hop_served(spark, sf_dir):
+    """Store-then-serve: the pipeline's triples are MATERIALIZED as a
+    Spark-native bucketed table (bucketBy(8, subj) + sortBy, the parquet
+    twin of Iceberg bucket(N, subj)) and the two-hop traversal then runs
+    off the CATALOG table — exactly how a 100 TB consumer serves KG
+    queries without re-running construction. The b side of the self-join
+    keys on subj (the bucket key) and plans with NO Exchange; the a side
+    keys on obj and pays the single remaining shuffle
+    (test_plans.test_two_hop_on_bucketed_table_single_exchange pins
+    both). Values are gated against the same full-pipeline oracle as the
+    in-memory kg_two_hop — store-then-serve must be lossless."""
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_triples_bucketed_table,
+    )
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    result = run_pipeline(docs)
+    write_triples_bucketed_table(
+        result.triples, "kg_triples_served_gate", n_buckets=8
+    )
+    result.close()
+    nt = (
+        spark.table("kg_triples_served_gate")
+        .where(F.col("pred") == "narrower_than")
+        .select("subj", "obj")
+    )
+    a = nt.select(F.col("subj").alias("descendant"), F.col("obj").alias("mid"))
+    b = nt.select(F.col("subj").alias("mid"), F.col("obj").alias("ancestor"))
+    return (
+        a.join(b, "mid")
+        .select("descendant", "mid", "ancestor")
+        .distinct()
+    )
+
+
+def q_kg_ancestor_closure(spark, sf_dir):
+    """KG consumer query: FULL transitive ancestor closure of the
+    narrower_than hierarchy with min-hop depth — the generalization of
+    kg_two_hop to arbitrary depth (reference twin: the per-node anytree
+    parent walk, analyzer/ontology_analyzer.py:175-188). Iterative
+    frontier BFS with per-round localCheckpoint
+    (operators/components.py:ancestor_closure); oracled by a recursive
+    CTE with the identical depth cap."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        ancestor_closure,
+    )
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    nt = (
+        run_pipeline(docs)
+        .triples.where(F.col("pred") == "narrower_than")
+        .select("subj", "obj")
+    )
+    return ancestor_closure(nt)
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Corpus length-distribution check (the first gate a training-data
     pipeline runs before fixing token budgets): per-language doc count +
@@ -1450,6 +1508,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ontology": q_kg_ontology,
     "kg_entity_degree": q_kg_entity_degree,
     "kg_two_hop": q_kg_two_hop,
+    "kg_ancestor_closure": q_kg_ancestor_closure,
+    "kg_two_hop_served": q_kg_two_hop_served,
     "kg_pagerank": q_kg_pagerank,
     "doc_path_coverage": q_doc_path_coverage,
     "docs_at_root": q_docs_at_root,
@@ -1915,6 +1975,7 @@ ORACLES: dict[str, str] = {
 # DuckDB SQL, generated from the same pinned spec tables the engine uses —
 # rows-only in round 1, three-check gated from round 2 (oracles_kg.py).
 from knowledgegraphgenerator_spark.oracles_kg import (  # noqa: E402
+    kg_ancestor_closure_oracle_sql,
     kg_docs_at_root_oracle_sql,
     kg_entity_degree_oracle_sql,
     kg_ontology_oracle_sql,
@@ -1931,6 +1992,10 @@ ORACLES["kg_triples_auto"] = kg_triples_oracle_sql()
 ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
 ORACLES["kg_entity_degree"] = kg_entity_degree_oracle_sql()
 ORACLES["kg_two_hop"] = kg_two_hop_oracle_sql()
+ORACLES["kg_ancestor_closure"] = kg_ancestor_closure_oracle_sql()
+# store-then-serve must be lossless: the bucketed-table variant is gated
+# against the SAME oracle as the in-memory traversal
+ORACLES["kg_two_hop_served"] = kg_two_hop_oracle_sql()
 ORACLES["kg_pagerank"] = kg_pagerank_oracle_sql()
 ORACLES["doc_path_coverage"] = kg_path_coverage_oracle_sql()
 ORACLES["docs_at_root"] = kg_docs_at_root_oracle_sql()

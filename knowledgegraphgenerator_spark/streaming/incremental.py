@@ -217,6 +217,49 @@ def incremental_kg_triples_blocked(
     q.awaitTermination()
 
 
+def incremental_kg_triples_auto(
+    spark: SparkSession,
+    source_dir: str,
+    dictionary_path: str,
+    stop_tokens: frozenset[str],
+    target_dir: str,
+    checkpoint_dir: str,
+    broadcast_term_limit: int = 2_000_000,
+) -> str:
+    """Auto strategy for streaming enrichment (VERDICT r3 #8): probe the
+    frozen dictionary artifact ONCE at stream start — the same
+    limit+1 collect the batch pipeline's 'auto' uses (pipeline.py), so
+    when broadcast wins the probe rows ARE the dictionary and choosing
+    costs no extra job. Past the limit the stream runs the
+    beyond-broadcast foreachBatch blocked path instead of OOMing the
+    driver on the collect. The dictionary is frozen for the stream's
+    lifetime, so one probe per start is exact, not a heuristic.
+    Returns the chosen strategy name ('broadcast' | 'blocked')."""
+    from knowledgegraphgenerator_spark.operators.phrases import (
+        load_dictionary_frames,
+        ranked_dictionary_from_rows,
+        union_dictionary_frames,
+    )
+
+    frames = load_dictionary_frames(spark, dictionary_path)
+    probe_rows = (
+        union_dictionary_frames(frames)
+        .limit(broadcast_term_limit + 1)
+        .collect()
+    )
+    if len(probe_rows) > broadcast_term_limit:
+        incremental_kg_triples_blocked(
+            spark, source_dir, frames, stop_tokens,
+            target_dir, checkpoint_dir,
+        )
+        return "blocked"
+    dictionary = ranked_dictionary_from_rows(probe_rows, stop_tokens)
+    incremental_kg_triples(
+        spark, source_dir, dictionary, target_dir, checkpoint_dir
+    )
+    return "broadcast"
+
+
 def stateful_sessionize_stream(
     spark: SparkSession,
     source_dir: str,

@@ -74,3 +74,62 @@ def test_deterministic_under_partitioning(spark):
     l1 = {r["id"]: r["component"] for r in connected_components(df1).collect()}
     l2 = {r["id"]: r["component"] for r in connected_components(df2).collect()}
     assert l1 == l2
+
+
+def test_ancestor_closure_crafted(spark):
+    """Closure of a forest with a diamond (two paths, different lengths,
+    same pair -> MIN depth) and a deep chain; plus the cycle cap."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        ancestor_closure,
+    )
+
+    edges = [
+        # chain a -> b -> c -> d
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        # diamond: x -> y -> t and x -> t directly (min depth 1 wins)
+        ("x", "y"), ("y", "t"), ("x", "t"),
+        # isolated edge
+        ("p", "q"),
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {
+        (r.descendant, r.ancestor): r.depth
+        for r in ancestor_closure(df).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+        ("a", "c"): 2, ("b", "d"): 2, ("a", "d"): 3,
+        ("x", "y"): 1, ("y", "t"): 1, ("x", "t"): 1,
+        ("p", "q"): 1,
+    }
+
+
+def test_ancestor_closure_cycle_cap(spark):
+    """A 2-cycle must terminate and produce exactly the pairs a
+    depth-capped recursive CTE would: both orientations plus the
+    self-pairs reached at depth 2."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        ancestor_closure,
+    )
+
+    df = spark.createDataFrame(
+        [("u", "v"), ("v", "u")], "subj string, obj string"
+    )
+    got = {
+        (r.descendant, r.ancestor): r.depth
+        for r in ancestor_closure(df, max_depth=25).collect()
+    }
+    assert got == {
+        ("u", "v"): 1, ("v", "u"): 1, ("u", "u"): 2, ("v", "v"): 2,
+    }
+
+
+def test_ancestor_closure_empty(spark):
+    from knowledgegraphgenerator_spark.operators.components import (
+        ancestor_closure,
+    )
+
+    df = spark.createDataFrame([], "subj string, obj string")
+    out = ancestor_closure(df)
+    assert out.columns == ["descendant", "ancestor", "depth"]
+    assert out.count() == 0

@@ -344,3 +344,57 @@ def test_multimodal_fake_decode(spark):
     got2 = {r["doc_id"]: r for r in out2.collect()}
     for k in got:
         assert got[k]["features"] == got2[k]["features"]
+
+
+def test_incremental_kg_auto_strategy(spark, tmp_path):
+    """Streaming 'auto' mirrors the batch probe: a tiny limit forces the
+    blocked foreachBatch path, a generous limit picks broadcast, and the
+    two runs emit the identical triple set (VERDICT r3 #8)."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.core.stopwords import (
+        resolve_stop_words,
+    )
+    from knowledgegraphgenerator_spark.operators import phrases
+    from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_kg_triples_auto,
+    )
+
+    src = str(tmp_path / "src")
+    dict_path = str(tmp_path / "dict")
+    corpus = _corpus(spark).select(
+        "doc_id",
+        F.concat(F.lit("https://x/"), F.col("doc_id")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text", "lang",
+    )
+    corpus.write.mode("overwrite").parquet(src)
+    stops = resolve_stop_words("en", None)
+    frames = phrases.build_dictionary_frames(
+        normalize_corpus(corpus.select("doc_id", "text", "lang")),
+        stops, "doc_id", "norm_text",
+    )
+    phrases.save_dictionary(dict(frames), dict_path)
+
+    def multiset(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("subj", "pred", "obj").collect()
+        )
+
+    chosen_small = incremental_kg_triples_auto(
+        spark, src, dict_path, stops,
+        str(tmp_path / "tgt_bl"), str(tmp_path / "ckpt_bl"),
+        broadcast_term_limit=3,
+    )
+    assert chosen_small == "blocked"
+    chosen_big = incremental_kg_triples_auto(
+        spark, src, dict_path, stops,
+        str(tmp_path / "tgt_br"), str(tmp_path / "ckpt_br"),
+    )
+    assert chosen_big == "broadcast"
+    out_bl = multiset(str(tmp_path / "tgt_bl"))
+    assert out_bl == multiset(str(tmp_path / "tgt_br"))
+    assert len(out_bl) > 0
