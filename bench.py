@@ -99,6 +99,14 @@ def main() -> None:
         app_name=f"kg-bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(8, int(cpus)),
+        # the 10^6-doc big point at 32 threads needs headroom past the
+        # 8g default (observed GCLocker allocation-retry death at 8g on
+        # a co-tenant phase); the box has 128 GiB
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_DRIVER_MEMORY", "24g"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -170,48 +178,56 @@ def main() -> None:
         big_triples = big_result.triples.count()
         big_kg_sec = time.perf_counter() - t0
         big_result.close()
-        # near-dedup point: this corpus carries a realistic ~50% true
-        # near-dup rate (template-lattice clones, like a raw crawl), so
-        # verified-pair work grows superlinearly with n. Two knobs keep
-        # the point honest AND bounded: (a) the steep LSH S-curve
-        # (k=32, rows_per_band=4 -> band-collision prob ~1.5% at
-        # J=0.25 vs ~40% for the default 2-row bands, recall ~0.99 at
-        # the 0.8 threshold) — the parameterization a real 100 TB dedup
-        # sweep would pick on a dup-heavy crawl; (b) a capped doc count
-        # (default 400k, SPARK_GRAFT_BIGDOCS_ND to override).
-        nd_docs = int(
-            os.environ.get("SPARK_GRAFT_BIGDOCS_ND", "400000")
+        # dedup point, textbook crawl order: EXACT dedup first (this
+        # corpus is ~94% exact clones — a heavy-crawl regime; hash
+        # groupBy collapses clone families in one shuffle), THEN MinHash
+        # near-dedup over the survivors with the steep LSH S-curve
+        # (k=32, rows_per_band=4 -> band-collision prob ~1.5% at J=0.25
+        # vs ~40% for 2-row bands). Running fuzzy dedup BEFORE exact on
+        # a clone-saturated corpus is the known anti-pattern: every
+        # clone family is a quadratic candidate clique (measured here:
+        # >60 GB shuffle spill at 400k docs; after exact dedup the same
+        # sweep is seconds) — C4/RefinedWeb order exists for a reason.
+        from knowledgegraphgenerator_spark.operators.dedup import (
+            exact_dedup,
         )
-        nd_docs = min(nd_docs, big_docs)
-        nd_corpus = corpus.where(
-            F.col("doc_id") < nd_docs
-        ).select("doc_id", "text")
+
+        t0 = time.perf_counter()
+        uniq = exact_dedup(
+            corpus.select("doc_id", "text"), "text", "doc_id"
+        ).persist()
+        big_exact_kept = uniq.count()
+        big_exact_sec = time.perf_counter() - t0
         t0 = time.perf_counter()
         big_kept = near_dedup(
-            nd_corpus, "text", "doc_id", k=32, rows_per_band=4
+            uniq, "text", "doc_id", k=32, rows_per_band=4
         ).count()
         big_nd_sec = time.perf_counter() - t0
+        uniq.unpersist()
         big = {
             "docs": big_docs,
             "kg_sec": round(big_kg_sec, 3),
             "kg_docs_per_sec": round(big_docs / big_kg_sec, 1),
             "kg_triples": big_triples,
-            "neardup_docs": nd_docs,
+            "exact_dedup_sec": round(big_exact_sec, 3),
+            "exact_dedup_docs_per_sec": round(
+                big_docs / big_exact_sec, 1
+            ),
+            "exact_kept": big_exact_kept,
             "neardup_sec": round(big_nd_sec, 3),
-            "neardup_docs_per_sec": round(nd_docs / big_nd_sec, 1),
+            "neardup_input_docs": big_exact_kept,
             "neardup_kept": big_kept,
             "basis": (
                 "single run each (no warmup rerun at this size), "
                 "deterministic synthetic_web_pages(seed fixed) corpus, "
-                "same session/cpus as the suite; near-dedup uses "
-                "k=32/rows_per_band=4 on the first neardup_docs ids "
-                "(~50% true-near-dup corpus)"
+                "same session/cpus as the suite; dedup chain = exact "
+                "(full corpus) then near-dedup k=32/rows_per_band=4 "
+                "over the exact survivors (~94% exact-clone corpus)"
             ),
         }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "kg_construct_suite_sec",
                 "value": total,
@@ -248,8 +264,10 @@ def main() -> None:
                 },
             }
         )
-    )
+    # stop FIRST, print LAST: JVM unified-logging lines (GC warnings)
+    # land on stdout and must not trail the one-line JSON contract
     spark.stop()
+    print(payload)
 
 
 if __name__ == "__main__":
