@@ -53,8 +53,9 @@ HEADLINE = [
     "neardup_components",
     "dup_ngram_fraction",
     # round 4: C4-style duplicated-span REMOVAL (the drop twin of the
-    # diagnostic above)
+    # diagnostic above) + the one-operator crawl-order dedup chain
     "dup_span_removal",
+    "dedup_chain",
     "minhash_scale",
     "simhash64_scale",
     "winnow_scale",

@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     corpus.add_argument("--resume-root", default=None)
     corpus.add_argument("--linking", default="auto",
                         choices=["auto", "broadcast", "blocked"])
+    corpus.add_argument(
+        "--dedup", default="none",
+        choices=["none", "exact", "chain"],
+        help="pre-pipeline corpus dedup: 'exact' = hash dedup; "
+             "'chain' = exact then MinHash near-dedup (crawl order — "
+             "exact MUST precede fuzzy, operators/dedup.py:crawl_dedup)",
+    )
 
     an = sub.add_parser("analyze", help="diagnostics over an export JSON")
     an.add_argument("--file_path", required=True)
@@ -126,6 +133,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                             report_csv_path="analyzer_report.csv")
         elif args.cmd == "corpus":
             df = spark.read.parquet(args.input)
+            if args.dedup == "exact":
+                from knowledgegraphgenerator_spark.operators.dedup import (
+                    exact_dedup,
+                )
+
+                df = exact_dedup(df, "text", "doc_id")
+            elif args.dedup == "chain":
+                from knowledgegraphgenerator_spark.operators.dedup import (
+                    crawl_dedup,
+                )
+
+                df = crawl_dedup(df, "text", "doc_id")
             if args.resume_root:
                 from knowledgegraphgenerator_spark.plans.runner import (
                     run_resumable_pipeline,

@@ -345,18 +345,25 @@ def remove_duplicate_spans(
     bytes_removed is measured on that canonical space-joined form.
 
     Scale shape (never all-pairs):
-      1. explode sliding spans           narrow (array transform)
-      2. groupBy(shingle)                1 shuffle, partial-agg map-side;
-         -> (occ, first occurrence)      min(struct) is a plain reduce
-      3. join spans x repeated shingles  equi-join on shingle; hot
-                                         boilerplate shingles are exactly
-                                         the skew AQE skew-join splits
-      4. groupBy(doc_id) removal starts  1 shuffle, vocabulary of
-                                         positions bounded per doc
-      5. left-join docs + array filter   narrow rebuild, no explode
-    At 100 TB steps 2-4 would run over ``xxhash64(shingle)`` instead of
-    the string (the string form here keeps the DuckDB oracle exact; a
-    collision merely merges two spans' counts, biasing toward removal).
+      1. explode sliding spans            narrow, derived ONCE (a
+                                          groupBy+join-back form derives
+                                          the explode per branch — 4
+                                          Generate nodes; pinned to 1 in
+                                          test_plans)
+      2. count + row_number over          ONE shuffle on the shingle key;
+         Window.partitionBy(shingle)      rn 1 by (doc_id, pos) is the
+                                          canonical keeper
+      3. filter dup occurrences →         1 shuffle, positions bounded
+         groupBy(doc_id) removal starts   per doc
+      4. left-join docs + array filter    narrow rebuild, no explode
+    Hot boilerplate shingles land in one window partition (windows are
+    not AQE-splittable); if a corpus has a shingle with ~10^9
+    occurrences, swap step 2 for groupBy(shingle) + join-back — partial
+    aggregation collapses the hot key map-side and AQE splits the join —
+    at the cost of deriving the span explode twice. At 100 TB the
+    shuffle key becomes ``xxhash64(shingle)`` instead of the string (the
+    string form here keeps the DuckDB oracle exact; a collision merely
+    merges two spans' counts, biasing toward removal).
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
@@ -377,20 +384,12 @@ def remove_duplicate_spans(
         .select("doc_id", F.col("sp.pos").alias("pos"),
                 F.col("sp.shingle").alias("shingle"))
     )
-    repeated = (
-        spans.groupBy("shingle")
-        .agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
-        )
-        .where(F.col("occ") >= min_repeats)
-    )
+    w = Window.partitionBy("shingle")
+    wo = Window.partitionBy("shingle").orderBy("doc_id", "pos")
     dup_starts = (
-        spans.join(repeated, "shingle")
-        .where(
-            (F.col("doc_id") != F.col("first_occ.doc_id"))
-            | (F.col("pos") != F.col("first_occ.pos"))
-        )
+        spans.withColumn("occ", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .where((F.col("occ") >= min_repeats) & (F.col("rn") > 1))
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("starts"))
     )

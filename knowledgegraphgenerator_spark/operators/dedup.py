@@ -208,6 +208,46 @@ def near_dedup(
     return df.join(drop, id_col, "anti")
 
 
+def crawl_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 2,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Crawl-order corpus dedup: EXACT hash dedup first, THEN MinHash
+    near-dedup over the exact survivors — one operator so the ordering
+    cannot be gotten wrong.
+
+    The order is structural, not stylistic (measured, BENCH/BASELINE.md
+    round-4 big point): every exact-clone family of size B that reaches
+    the LSH stage becomes a B² candidate clique that all verifies at
+    Jaccard 1.0 — on a ~94%-exact-clone 10^6-doc corpus the fuzzy-first
+    order spilled >60 GB of shuffle and exhausted the disk, while
+    exact-first collapsed the corpus 10^6 → 56k in 1.9s and the
+    identical fuzzy sweep then ran in ~65s. C4/RefinedWeb pipelines
+    hash-dedup before MinHash for exactly this reason; at 10^12 docs
+    the wrong order is not slow, it is impossible.
+
+    ``max_bucket`` passes through to the LSH band join (degenerate
+    hot-bucket guard); the oracle-gated query disables it for exact
+    recall, production keeps it on.
+    """
+    uniq = exact_dedup(df, text_col, id_col)
+    sh = token_shingles(uniq, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(sh, id_col, k)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, rows_per_band, max_bucket=max_bucket
+    )
+    dups = verify_jaccard(pairs, sh, id_col, threshold_num, threshold_den)
+    drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return uniq.join(drop, id_col, "anti")
+
+
 def incremental_neardup_pairs(
     new_df: DataFrame,
     old_df: DataFrame,

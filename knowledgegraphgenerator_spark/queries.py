@@ -505,6 +505,23 @@ def q_neardup_pairs_scale(spark, sf_dir):
     return verify_jaccard(pairs, sh, "doc_id", 8, 10)
 
 
+def q_dedup_chain(spark, sf_dir):
+    """The full crawl-order dedup chain as ONE operator: exact hash
+    dedup, then MinHash near-dedup over the survivors
+    (operators/dedup.py:crawl_dedup — the ordering is structural; see
+    its docstring for the measured 10^6-doc evidence). Recall-max
+    banding + guard off so the brute-force DuckDB oracle gates the
+    chain's kept-set value-for-value (same gating argument as
+    neardup_pairs_scale: verify is exact, band recall at J >= 0.8 is
+    1-(1-J)^16 per pair)."""
+    from knowledgegraphgenerator_spark.operators.dedup import crawl_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return crawl_dedup(
+        docs, "text", "doc_id", k=16, rows_per_band=1, max_bucket=None
+    )
+
+
 def q_incremental_neardup(spark, sf_dir):
     """Incremental dedup: the daily-ingest shape — near-dup pairs of a
     NEW batch (doc_id % 4 == 0) against the EXISTING corpus (the rest).
@@ -1500,12 +1517,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats_bpe": q_token_stats_bpe,
     "salted_term_stats": q_salted_term_stats,
     "last_signup_propagation": q_last_signup_propagation,
-    "hourly_event_counts": q_hourly_event_counts,
     "sessionize": q_sessionize,
     "neardup_pairs_scale": q_neardup_pairs_scale,
     "neardup_components": q_neardup_components,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "dup_span_removal": q_dup_span_removal,
+    "dedup_chain": q_dedup_chain,
     "incremental_neardup": q_incremental_neardup,
     "kg_triples": q_kg_triples,
     "kg_triples_blocked": q_kg_triples_blocked,
@@ -1518,9 +1535,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": q_kg_pagerank,
     "doc_path_coverage": q_doc_path_coverage,
     "docs_at_root": q_docs_at_root,
-    # --- position 51+: stable TPC-H-ish queries, unchanged since r1,
-    # green driver rows r01-r03; certified by scripts/full_gate.py when
-    # the driver harness caps its report (see comment above the dict)
+    # --- position 51+: stable queries unchanged since r1, green driver
+    # rows r01-r03; certified by scripts/full_gate.py when the driver
+    # harness caps its report (see comment above the dict)
+    "hourly_event_counts": q_hourly_event_counts,
     "parts_rollup": q_parts_rollup,
     "pricing_summary": q_pricing_summary,
     "top_orders_per_cust": q_top_orders_per_cust,
@@ -1628,6 +1646,32 @@ ORACLES: dict[str, str] = {
         "FROM ix JOIN sizes na ON ix.id_a = na.doc_id "
         "JOIN sizes nb ON ix.id_b = nb.doc_id "
         "WHERE inter * 10 >= (na.n + nb.n - inter) * 8"
+    ),
+    "dedup_chain": (
+        # exact dedup (keep min id per text), then brute-force Jaccard
+        # near-dedup among the survivors; drop every id_b of a verified
+        # pair (id_a < id_b) — the same star-drop rule as the operator
+        "WITH uniq AS MATERIALIZED ("
+        " SELECT min(doc_id) AS doc_id, text FROM documents"
+        " GROUP BY text), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM uniq), "
+        "sh AS MATERIALIZED ("
+        " SELECT DISTINCT doc_id, unnest(list_transform("
+        " list_zip(s[1:len(s)-2], s[2:len(s)-1], s[3:]),"
+        " x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingle"
+        " FROM toks WHERE len(s) >= 3), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh"
+        " GROUP BY doc_id), "
+        "ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        " CAST(count(*) AS BIGINT) AS inter"
+        " FROM sh a JOIN sh b ON a.shingle = b.shingle"
+        " AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "drp AS (SELECT DISTINCT id_b FROM ix"
+        " JOIN sizes na ON ix.id_a = na.doc_id"
+        " JOIN sizes nb ON ix.id_b = nb.doc_id"
+        " WHERE inter * 10 >= (na.n + nb.n - inter) * 8) "
+        "SELECT u.doc_id, u.text FROM uniq u"
+        " LEFT JOIN drp d ON u.doc_id = d.id_b WHERE d.id_b IS NULL"
     ),
     "incremental_neardup": (
         f"WITH sh AS ({_SHINGLES_SQL}), "

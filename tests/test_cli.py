@@ -130,3 +130,48 @@ def test_cli_dictionary_and_stream(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_corpus_dedup_chain(spark, tmp_path):
+    """corpus --dedup chain runs exact-then-fuzzy dedup before the
+    pipeline: a corpus where half the docs are exact clones must yield
+    the same triples as running on the pre-deduped corpus directly."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.sources.webpages import (
+        synthetic_web_pages,
+    )
+
+    pages = synthetic_web_pages(spark, 120, n_partitions=4).select(
+        "doc_id", "url", "warc_ts", "text", "lang"
+    )
+    # duplicate every doc under a higher id — exact clones
+    clones = pages.withColumn("doc_id", F.col("doc_id") + 1000)
+    src = str(tmp_path / "pages_dup")
+    pages.unionByName(clones).write.mode("overwrite").parquet(src)
+
+    out_d = str(tmp_path / "kg_dedup")
+    rc = main(
+        ["corpus", "--input", src, "--output", out_d, "--dedup", "chain"],
+        spark=spark,
+    )
+    assert rc == 0
+
+    src_clean = str(tmp_path / "pages_clean")
+    pages.write.mode("overwrite").parquet(src_clean)
+    out_c = str(tmp_path / "kg_clean")
+    rc = main(
+        ["corpus", "--input", src_clean, "--output", out_c],
+        spark=spark,
+    )
+    assert rc == 0
+
+    def tset(path):
+        return {
+            tuple(r) for r in spark.read.parquet(path)
+            .select("subj", "pred", "obj").collect()
+        }
+
+    deduped = tset(out_d)
+    assert deduped == tset(out_c)
+    assert len(deduped) > 0

@@ -133,3 +133,32 @@ def test_incremental_neardup_asymmetric(spark):
         ).collect()
     )
     assert admitted == [101]
+
+
+def test_crawl_dedup_order_and_result(spark):
+    """crawl_dedup = exact-then-fuzzy in one operator: exact clone
+    families collapse to their min id BEFORE the LSH stage, then
+    near-clones of the survivors drop. Expected kept set computed by
+    hand on a crafted corpus."""
+    from knowledgegraphgenerator_spark.operators.dedup import crawl_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # appended token: shares all 8 of base's shingles, union 9 ->
+    # J = 8/9 = 0.89 >= 0.8 (a changed LAST token instead would give
+    # 7/9 = 0.78 and survive)
+    near = base + " lambda"
+    rows = [
+        (10, base), (11, base), (12, base),       # exact clones -> keep 10
+        (20, near),                                # near-dup of 10 -> drop
+        (30, "completely different text entirely unrelated body here"),
+        (40, ""),                                  # empty: kept
+        (41, ""),                                  # exact clone of 40
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in crawl_dedup(
+            df, "text", "doc_id", k=16, rows_per_band=1, max_bucket=None
+        ).collect()
+    )
+    assert kept == [10, 30, 40]
