@@ -96,7 +96,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     st.add_argument("--linking", default="auto",
                     choices=["auto", "broadcast", "blocked"])
 
-    for p in (faq, corpus, an, syn, dd, st):
+    ing = sub.add_parser(
+        "ingest",
+        help="streaming admit-only-novel ingestion: new web-page files "
+             "are deduped within batch (exact then MinHash) and against "
+             "the accumulated corpus; survivors append, exactly-once",
+    )
+    ing.add_argument("--source", required=True)
+    ing.add_argument("--corpus", required=True)
+    ing.add_argument("--checkpoint", required=True)
+
+    for p in (faq, corpus, an, syn, dd, st, ing):
         p.add_argument("--v", action="store_true", help="verbose")
 
     args = ap.parse_args(argv)
@@ -224,6 +234,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     spark, args.source, dictionary, args.output,
                     args.checkpoint,
                 )
+        elif args.cmd == "ingest":
+            from knowledgegraphgenerator_spark.streaming.incremental import (
+                incremental_ingest_dedup,
+            )
+
+            incremental_ingest_dedup(
+                spark, args.source, args.corpus, args.checkpoint
+            )
         elif args.cmd == "synonyms":
             from knowledgegraphgenerator_spark.operators.word2vec import (
                 synonym_generation_master,

@@ -217,6 +217,66 @@ def incremental_kg_triples_blocked(
     q.awaitTermination()
 
 
+def incremental_ingest_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    max_bucket: int | None = 1000,
+) -> None:
+    """Streaming crawl ingestion that ADMITS ONLY NOVEL documents: each
+    micro-batch is deduped (a) within itself in crawl order
+    (operators/dedup.py:crawl_dedup — exact hash first, then MinHash)
+    and (b) against the ACCUMULATED admitted corpus via the asymmetric
+    batch-vs-corpus band join (admit_batch — new×new and old×old pairs
+    never materialize, work tracks |batch|); survivors append to the
+    corpus, so the next batch dedups against them. This is the streaming
+    face of the daily-ingest regime the incremental operators exist for.
+
+    Exactly-once: survivors land in ``corpus_dir/batch_id=N`` via
+    overwrite — a retried batch rewrites its own partition, never
+    appends duplicates. Rows without identity or text are dropped at
+    the source (no stable doc_id → no dedup key).
+    """
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        admit_batch,
+        crawl_dedup,
+    )
+
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(source_dir)
+    )
+    incoming = stream.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+
+    def _admit(batch_df, batch_id: int) -> None:
+        batch = crawl_dedup(batch_df, "text", "doc_id")
+        try:
+            old = spark.read.parquet(corpus_dir).drop("batch_id")
+        except Exception:
+            old = None  # first batch: nothing admitted yet
+        if old is not None:
+            batch = admit_batch(
+                batch, old.select("doc_id", "text"), "text", "doc_id",
+                max_bucket=max_bucket,
+            )
+        (
+            batch.write.mode("overwrite")
+            .parquet(f"{corpus_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        incoming.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def incremental_kg_triples_auto(
     spark: SparkSession,
     source_dir: str,

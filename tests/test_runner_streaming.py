@@ -398,3 +398,75 @@ def test_incremental_kg_auto_strategy(spark, tmp_path):
     out_bl = multiset(str(tmp_path / "tgt_bl"))
     assert out_bl == multiset(str(tmp_path / "tgt_br"))
     assert len(out_bl) > 0
+
+
+def test_incremental_ingest_dedup_stream(spark, tmp_path):
+    """Streaming admit-only-novel ingestion == the sequential batch
+    application of crawl_dedup + admit_batch, across two file drops:
+    within-batch exact/near clones collapse, cross-batch exact and
+    near duplicates of already-admitted docs are rejected, novel docs
+    are admitted."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        admit_batch,
+        crawl_dedup,
+    )
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"https://x/{i}",
+                 "2026-01-01 00:00:00", None, t, "en")
+                for i, t in rows
+            ],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    batch1 = [
+        (1, base), (2, base),            # within-batch exact clone
+        (3, base + " lambda"),           # within-batch near-dup of 1
+        (4, other),
+    ]
+    batch2 = [
+        (10, base),                      # exact dup of admitted 1
+        (11, base + " mu"),              # near-dup of admitted 1
+        (12, "totally novel document text with enough tokens here"),
+        (13, "totally novel document text with enough tokens here"),
+        (14, other + " twelve"),         # near-dup of admitted 4
+    ]
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages(batch1).write.mode("overwrite").parquet(src)
+    incremental_ingest_dedup(spark, src, corpus, ckpt)
+    admitted1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    expect1 = {
+        r.doc_id
+        for r in crawl_dedup(pages(batch1), "text", "doc_id").collect()
+    }
+    assert admitted1 == expect1 == {1, 4}
+
+    pages(batch2).write.mode("append").parquet(src)
+    incremental_ingest_dedup(spark, src, corpus, ckpt)
+    admitted2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    old = spark.read.parquet(corpus).where("batch_id = 0").select(
+        "doc_id", "text"
+    )
+    expect2 = expect1 | {
+        r.doc_id
+        for r in admit_batch(
+            crawl_dedup(pages(batch2), "text", "doc_id"),
+            old, "text", "doc_id",
+        ).collect()
+    }
+    assert admitted2 == expect2 == {1, 4, 12}
