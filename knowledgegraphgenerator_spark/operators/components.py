@@ -126,7 +126,7 @@ def canonicalize_terms(
 
 
 def ancestor_closure(
-    edges: DataFrame, max_depth: int = 25
+    edges: DataFrame, max_depth: int = 25, assume_distinct: bool = False
 ) -> DataFrame:
     """Transitive ancestor closure of a child→parent edge set — the
     graph-scale generalization of the reference's in-memory tree walk
@@ -151,11 +151,19 @@ def ancestor_closure(
         flat at 10^12-node scale;
       * ``max_depth`` caps pathological cycles — the DuckDB oracle
         carries the identical cap, so both engines agree even on
-        non-DAG input.
+        non-DAG input;
+      * ``assume_distinct=True`` skips the defensive edge
+        deduplication. Set it when serving off a stored distinct edge
+        set — e.g. the bucketed triple table — because the ``distinct``
+        inserts an Exchange that re-partitions the edges and defeats
+        the bucket layout the per-round hop join would otherwise use
+        (pinned in test_plans).
     """
     nt = edges.select(
         F.col("subj").alias("descendant"), F.col("obj").alias("ancestor")
-    ).distinct()
+    )
+    if not assume_distinct:
+        nt = nt.distinct()
     closure = nt.withColumn(
         "depth", F.lit(1).cast("long")
     ).localCheckpoint()

@@ -277,3 +277,63 @@ def test_ancestor_closure_joins_are_equi(spark):
     plan = _explain(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_closure_hop_join_bucketed_no_exchange(spark):
+    """The closure's per-round hop join keys on the edge table's subj:
+    served off the bucketed triple table with assume_distinct=True, the
+    hop (build) side must plan with NO Exchange — the frontier side pays
+    the single per-round shuffle. A defensive .distinct() on the edges
+    would insert an Exchange and defeat the bucket layout."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.operators.components import (
+        ancestor_closure,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_triples_bucketed_table,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", "narrower_than", f"n{i // 2}") for i in range(1, 64)],
+        "subj string, pred string, obj string",
+    )
+    write_triples_bucketed_table(edges, "t_closure_edges", n_buckets=8)
+    try:
+        nt = spark.table("t_closure_edges").where(
+            F.col("pred") == "narrower_than"
+        ).select("subj", "obj")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # the exact per-round join shape the operator builds
+            frontier = nt.select(
+                F.col("subj").alias("descendant"),
+                F.col("obj").alias("ancestor"),
+            )
+            hop = nt.select(
+                F.col("subj").alias("mid"), F.col("obj").alias("nxt")
+            )
+            step = frontier.join(hop, frontier["ancestor"] == hop["mid"])
+            plan = step._jdf.queryExecution().executedPlan().toString()
+            # exactly ONE Exchange: the frontier side (keys on ancestor,
+            # not the bucket key); the hop side reads bucket-aligned
+            assert plan.count("Exchange") == 1, plan
+            # and the full operator is value-identical with or without
+            # the bucketed serve path
+            bucketed = {
+                tuple(r)
+                for r in ancestor_closure(nt, assume_distinct=True)
+                .collect()
+            }
+            plain = {
+                tuple(r)
+                for r in ancestor_closure(
+                    edges.select("subj", "obj")
+                ).collect()
+            }
+            assert bucketed == plain and len(plain) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_closure_edges")
