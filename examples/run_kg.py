@@ -11,7 +11,12 @@
 
 The script builds its own SparkSession from the cluster config (no
 local-mode assumptions) and runs the resumable pipeline; rerunning after
-a failure resumes from the last committed stage.
+a failure resumes from the last committed stage. The resume root may be
+a CLUSTER filesystem path (s3a://, hdfs://) — stage markers go through
+the Hadoop FileSystem API and per-partition lineage counts fall back to
+a one-job readback there (plans/runner.py). ``--dedup chain`` runs
+crawl-order dedup (exact hash, then MinHash near-dedup) before the
+pipeline — the order is structural; see operators/dedup.py:crawl_dedup.
 """
 
 from __future__ import annotations
@@ -30,6 +35,8 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--linking", default="auto",
                     choices=["auto", "broadcast", "blocked"])
+    ap.add_argument("--dedup", default="none",
+                    choices=["none", "exact", "chain"])
     args = ap.parse_args()
 
     spark = (
@@ -45,6 +52,17 @@ def main() -> None:
     )
 
     corpus = spark.read.parquet(args.input)
+    if args.dedup != "none":
+        from knowledgegraphgenerator_spark.operators.dedup import (
+            crawl_dedup,
+            exact_dedup,
+        )
+
+        corpus = (
+            exact_dedup(corpus, "text", "doc_id")
+            if args.dedup == "exact"
+            else crawl_dedup(corpus, "text", "doc_id")
+        )
     triples = run_resumable_pipeline(
         spark, corpus, args.resume_root, args.language,
         linking_strategy=args.linking,
