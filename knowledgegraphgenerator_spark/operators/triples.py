@@ -147,12 +147,43 @@ def write_triples_bucketed_table(
     not know about a previous session's managed-table directory, and
     ``mode("overwrite")`` then fails with LOCATION_ALREADY_EXISTS — so
     any orphaned location is removed (via the Hadoop FileSystem API,
-    which also covers non-local warehouses) after the DROP."""
+    which also covers non-local warehouses) after the DROP.
+
+    Deletion safety (ADVICE r4 #3): the helper accepts only
+    UNQUALIFIED lowercase table names in the CURRENT database — a
+    qualified ``db.tbl`` would make the guessed ``<warehouse>/<name>``
+    path wrong (the real layout is ``<warehouse>/<db>.db/<tbl>``) and
+    could delete an unrelated directory sharing the name. When the
+    table is still registered, its REAL location is resolved from the
+    catalog (``DESCRIBE TABLE EXTENDED``) before the drop and that
+    path is deleted; the warehouse-derived path (current-database
+    aware) is only the fallback for the orphaned-directory case where
+    no catalog entry exists to consult."""
+    import re
+
     spark = triples.sparkSession
+    if not re.fullmatch(r"[a-z_][a-z0-9_]*", table):
+        raise ValueError(
+            "write_triples_bucketed_table requires an unqualified "
+            f"lowercase table name, got {table!r}"
+        )
+    location = None
+    if spark.catalog.tableExists(table):
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row.col_name == "Location":
+                location = row.data_type
+                break
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if location is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        db = spark.catalog.currentDatabase()
+        location = (
+            f"{warehouse.rstrip('/')}/{table}"
+            if db == "default"
+            else f"{warehouse.rstrip('/')}/{db}.db/{table}"
+        )
     jvm = spark.sparkContext._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table)
+    loc = jvm.org.apache.hadoop.fs.Path(location)
     fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)

@@ -59,6 +59,48 @@ def _strip_file_scheme(path: str) -> str:
     return path
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API —
+    works for local, ``file:``, ``hdfs://`` and ``s3a://`` paths."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(jsc.hadoopConfiguration()), hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check that dispatches local paths to ``os`` (zero JVM
+    round-trips) and everything else to the Hadoop FileSystem API."""
+    if _is_local_path(path):
+        return os.path.exists(_strip_file_scheme(path))
+    fs, hpath = hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def list_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Sorted names of the immediate child DIRECTORIES of ``path``
+    (empty list when ``path`` does not exist). Used to enumerate
+    partition directories explicitly — e.g. the streaming ingest's
+    replay-safe prior-batch read — instead of globbing through a
+    DataFrame read that cannot exclude a partition."""
+    if _is_local_path(path):
+        local = _strip_file_scheme(path)
+        if not os.path.isdir(local):
+            return []
+        return sorted(
+            n for n in os.listdir(local)
+            if os.path.isdir(os.path.join(local, n))
+        )
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory()
+    )
+
+
 @dataclass
 class StageRunner:
     spark: SparkSession
@@ -79,17 +121,11 @@ class StageRunner:
     # local roots keep the zero-JVM os/pyarrow fast path.
 
     def _hadoop_fs(self, path: str):
-        jvm = self.spark.sparkContext._jvm
-        jsc = self.spark.sparkContext._jsc
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-        return fs, hpath, jvm
+        fs, hpath = hadoop_fs(self.spark, path)
+        return fs, hpath, self.spark.sparkContext._jvm
 
     def _exists(self, path: str) -> bool:
-        if _is_local_path(path):
-            return os.path.exists(_strip_file_scheme(path))
-        fs, hpath, _ = self._hadoop_fs(path)
-        return bool(fs.exists(hpath))
+        return fs_exists(self.spark, path)
 
     def _write_marker(self, path: str) -> None:
         if _is_local_path(path):

@@ -233,15 +233,27 @@ def incremental_ingest_dedup(
     corpus, so the next batch dedups against them. This is the streaming
     face of the daily-ingest regime the incremental operators exist for.
 
-    Exactly-once: survivors land in ``corpus_dir/batch_id=N`` via
-    overwrite — a retried batch rewrites its own partition, never
-    appends duplicates. Rows without identity or text are dropped at
-    the source (no stable doc_id → no dedup key).
+    Exactly-once AND replay-safe: survivors land in
+    ``corpus_dir/batch_id=N`` via overwrite — a retried batch rewrites
+    its own partition, never appends duplicates — and the old-corpus
+    read EXCLUDES the current batch's own partition (ADVICE r4 #1): on
+    a foreachBatch retry (crash after the ``batch_id=N`` write but
+    before the checkpoint offset commit) the corpus already contains
+    this batch's output, and reading it back would make every survivor
+    an exact duplicate of itself, emptying the partition permanently.
+    Prior partitions are enumerated explicitly through the Hadoop
+    FileSystem API (cluster-FS-safe); a missing corpus dir is the
+    legitimate first-batch case, while any OTHER read failure
+    (transient FS error, permissions, corrupt footer) propagates and
+    fails the batch so the stream retries — it is NOT treated as
+    "first batch" (ADVICE r4 #2). Rows without identity or text are
+    dropped at the source (no stable doc_id → no dedup key).
     """
     from knowledgegraphgenerator_spark.operators.dedup import (
         admit_batch,
         crawl_dedup,
     )
+    from knowledgegraphgenerator_spark.plans.runner import list_subdirs
 
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
@@ -254,11 +266,15 @@ def incremental_ingest_dedup(
 
     def _admit(batch_df, batch_id: int) -> None:
         batch = crawl_dedup(batch_df, "text", "doc_id")
-        try:
-            old = spark.read.parquet(corpus_dir).drop("batch_id")
-        except Exception:
-            old = None  # first batch: nothing admitted yet
-        if old is not None:
+        prior = [
+            d
+            for d in list_subdirs(spark, corpus_dir)
+            if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+        ]
+        if prior:
+            old = spark.read.parquet(
+                *[f"{corpus_dir}/{d}" for d in prior]
+            )
             batch = admit_batch(
                 batch, old.select("doc_id", "text"), "text", "doc_id",
                 max_bucket=max_bucket,

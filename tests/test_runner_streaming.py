@@ -470,3 +470,50 @@ def test_incremental_ingest_dedup_stream(spark, tmp_path):
         ).collect()
     }
     assert admitted2 == expect2 == {1, 4, 12}
+
+
+def test_incremental_ingest_dedup_replay_safe(spark, tmp_path):
+    """A foreachBatch RETRY of an already-written batch — the crash
+    window between the ``batch_id=N`` parquet write and the checkpoint
+    offset commit, simulated here by replaying the same source through
+    a fresh checkpoint over a corpus that already contains the batch's
+    output — must not dedup the batch against its own prior output.
+    Before the ADVICE r4 #1 fix the survivors were all dropped as
+    duplicates of themselves and the partition was overwritten EMPTY
+    (permanent silent data loss); now the current batch partition is
+    excluded from the old-corpus read and the replay is idempotent."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # within-batch exact clone of 1
+        (4, "one two three four five six seven eight nine ten eleven"),
+    ]
+    pages = spark.createDataFrame(
+        [
+            (i, f"https://x/{i}", "2026-01-01 00:00:00", None, t, "en")
+            for i, t in rows
+        ],
+        "doc_id long, url string, warc_ts string, html binary,"
+        " text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    pages.write.mode("overwrite").parquet(src)
+
+    incremental_ingest_dedup(spark, src, corpus, str(tmp_path / "ckpt1"))
+    assert {
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    } == {1, 4}
+
+    # replay batch 0 with the corpus already holding batch_id=0
+    incremental_ingest_dedup(spark, src, corpus, str(tmp_path / "ckpt2"))
+    replayed = spark.read.parquet(corpus)
+    assert {r.doc_id for r in replayed.collect()} == {1, 4}
+    assert {r.batch_id for r in replayed.select("batch_id").collect()} == {0}
