@@ -1,13 +1,26 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+Output contract (VERDICT r4 "What's wrong" #1 — the r4 driver artifact
+had ``parsed: null`` because the single JSON line, with its embedded
+prose basis, overflowed the driver's output-tail capture window and got
+truncated mid-JSON):
 
-Timing protocol: a small warmup run (sf0.001 flagship) first so JVM/Arrow/
-Python-worker startup is not attributed to the first timed query; each
-query is then executed once with a noop-style full materialization
-(count of all columns via write to noop sink when available, else count).
+  1. the FULL payload (queries map + big_point + prose basis) is
+     WRITTEN to $SPARK_GRAFT_BENCH_OUT (default
+     BENCH/BENCH_LOCAL_latest.json next to this file) — the durable
+     machine-readable artifact;
+  2. the full payload is also printed FIRST, before spark.stop(), so
+     even a truncated capture contains its head;
+  3. the LAST line printed is ONE COMPACT JSON line (prose basis
+     replaced by a pointer to the file) small enough to fit a tail
+     capture window — this is the line a driver should parse.
+
+Timing protocol: a small warmup run (sf0.001 flagship) first so JVM/
+Arrow/Python-worker startup is not attributed to the first timed query;
+each query is then executed with a noop-style full materialization
+(write to noop sink when available, else count). Sub-2s queries report
+median-of-3; larger ones min-of-2; the 10^6-doc big point is min-of-2
+per section as well (VERDICT r4 #5).
 """
 
 from __future__ import annotations
@@ -55,6 +68,9 @@ HEADLINE = [
     # round 4: C4-style duplicated-span REMOVAL (the drop twin of the
     # diagnostic above) + the one-operator crawl-order dedup chain
     "dup_span_removal",
+    # round 5: the hot-shingle groupby fallback timed alongside its
+    # window default so the skew variant's cost is tracked per round
+    "dup_span_removal_hot",
     "dedup_chain",
     "minhash_scale",
     "simhash64_scale",
@@ -174,11 +190,18 @@ def main() -> None:
                 spark, n_docs=big_docs, sentences_per_doc=4
             ).write.mode("overwrite").parquet(big_path)
         corpus = spark.read.parquet(big_path)
-        t0 = time.perf_counter()
-        big_result = run_pipeline(corpus, text_col="text", id_col="doc_id")
-        big_triples = big_result.triples.count()
-        big_kg_sec = time.perf_counter() - t0
-        big_result.close()
+        # min-of-2 on every big-point section (VERDICT r4 #5): the big
+        # point is the headline round-over-round metric, so it gets the
+        # same host-slow-phase guard as the suite's large queries
+        big_kg_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            big_result = run_pipeline(
+                corpus, text_col="text", id_col="doc_id"
+            )
+            big_triples = big_result.triples.count()
+            big_kg_sec = min(big_kg_sec, time.perf_counter() - t0)
+            big_result.close()
         # dedup point, textbook crawl order: EXACT dedup first (this
         # corpus is ~94% exact clones — a heavy-crawl regime; hash
         # groupBy collapses clone families in one shuffle), THEN MinHash
@@ -193,17 +216,24 @@ def main() -> None:
             exact_dedup,
         )
 
-        t0 = time.perf_counter()
-        uniq = exact_dedup(
-            corpus.select("doc_id", "text"), "text", "doc_id"
-        ).persist()
-        big_exact_kept = uniq.count()
-        big_exact_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        big_kept = near_dedup(
-            uniq, "text", "doc_id", k=32, rows_per_band=4
-        ).count()
-        big_nd_sec = time.perf_counter() - t0
+        big_exact_sec = float("inf")
+        uniq = None
+        for _ in range(2):
+            if uniq is not None:
+                uniq.unpersist()
+            t0 = time.perf_counter()
+            uniq = exact_dedup(
+                corpus.select("doc_id", "text"), "text", "doc_id"
+            ).persist()
+            big_exact_kept = uniq.count()
+            big_exact_sec = min(big_exact_sec, time.perf_counter() - t0)
+        big_nd_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            big_kept = near_dedup(
+                uniq, "text", "doc_id", k=32, rows_per_band=4
+            ).count()
+            big_nd_sec = min(big_nd_sec, time.perf_counter() - t0)
         uniq.unpersist()
         big = {
             "docs": big_docs,
@@ -219,7 +249,8 @@ def main() -> None:
             "neardup_input_docs": big_exact_kept,
             "neardup_kept": big_kept,
             "basis": (
-                "single run each (no warmup rerun at this size), "
+                "min-of-2 per section (kg pipeline / exact dedup / "
+                "near-dedup sweep — host slow-phase guard, r5), "
                 "deterministic synthetic_web_pages(seed fixed) corpus, "
                 "same session/cpus as the suite; dedup chain = exact "
                 "(full corpus) then near-dedup k=32/rows_per_band=4 "
@@ -228,47 +259,63 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
-    payload = json.dumps(
-            {
-                "metric": "kg_construct_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "docs": n_docs,
-                "triples": n_triples,
-                "docs_per_sec": round(n_docs / kg_sec, 1),
-                "triples_per_sec": round(n_triples / kg_sec, 1),
-                "big_point": big,
-                # headline basis, pinned so round-over-round numbers are
-                # comparable without forensics (VERDICT r2 'What's
-                # wrong' #4)
-                "basis": {
-                    "value": "sum of per-query timings below",
-                    "docs_per_sec": (
-                        "n_docs / wall of ONE standalone kg_triples "
-                        "pipeline run (count action) at sf_dir, timed "
-                        "after the suite"
-                    ),
-                    "protocol": (
-                        "one sf0.001 warmup; queries <2s report "
-                        "median-of-3, others min-of-2 (host slow-phase "
-                        "guard, r3; r2 used a single run for large "
-                        "queries)"
-                    ),
-                    "semantics_rev": (
-                        "r2 extraction semantics (reference-verbatim "
-                        "stop sets + Treebank splits); triple counts "
-                        "comparable to BENCH_r02, not BENCH_r01"
-                    ),
-                },
-            }
-        )
-    # stop FIRST, print LAST: JVM unified-logging lines (GC warnings)
-    # land on stdout and must not trail the one-line JSON contract
+    core = {
+        "metric": "kg_construct_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "docs": n_docs,
+        "triples": n_triples,
+        "docs_per_sec": round(n_docs / kg_sec, 1),
+        "triples_per_sec": round(n_triples / kg_sec, 1),
+        "big_point": big,
+    }
+    # headline basis, pinned so round-over-round numbers are comparable
+    # without forensics (VERDICT r2 'What's wrong' #4); lives in the
+    # FULL payload only — embedding it in the final line is what
+    # overflowed the r4 driver's tail-capture window (VERDICT r4 #1)
+    full = dict(core)
+    full["basis"] = {
+        "value": "sum of per-query timings below",
+        "docs_per_sec": (
+            "n_docs / wall of ONE standalone kg_triples pipeline run "
+            "(count action) at sf_dir, timed after the suite"
+        ),
+        "protocol": (
+            "one sf0.001 warmup; queries <2s report median-of-3, "
+            "others min-of-2 (host slow-phase guard, r3); big point "
+            "min-of-2 per section (r5)"
+        ),
+        "semantics_rev": (
+            "r2 extraction semantics (reference-verbatim stop sets + "
+            "Treebank splits); triple counts comparable to BENCH_r02+"
+        ),
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH", "BENCH_LOCAL_latest.json",
+        ),
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries both payloads
+    # full payload FIRST (head survives even a truncated capture) ...
+    print(json.dumps(full), flush=True)
+    # ... then stop (JVM GC/unified-logging lines land on stdout here
+    # and must not trail the final line) ...
     spark.stop()
-    print(payload)
+    # ... and the LAST line is the compact parse target
+    compact = dict(core)
+    compact["big_point"] = {k: v for k, v in big.items() if k != "basis"}
+    compact["basis"] = f"see {os.path.basename(out_path)}"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

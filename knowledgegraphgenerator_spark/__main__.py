@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ing.add_argument("--source", required=True)
     ing.add_argument("--corpus", required=True)
     ing.add_argument("--checkpoint", required=True)
+    ing.add_argument(
+        "--store", default=None,
+        help="signature-store dir: persist per-batch shingle/band "
+             "sketches and admit later batches against the stored "
+             "sketches instead of re-reading the corpus text",
+    )
 
     for p in (faq, corpus, an, syn, dd, st, ing):
         p.add_argument("--v", action="store_true", help="verbose")
@@ -240,7 +246,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
 
             incremental_ingest_dedup(
-                spark, args.source, args.corpus, args.checkpoint
+                spark, args.source, args.corpus, args.checkpoint,
+                store_dir=args.store,
             )
         elif args.cmd == "synonyms":
             from knowledgegraphgenerator_spark.operators.word2vec import (

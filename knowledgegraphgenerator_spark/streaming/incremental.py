@@ -223,6 +223,7 @@ def incremental_ingest_dedup(
     corpus_dir: str,
     checkpoint_dir: str,
     max_bucket: int | None = 1000,
+    store_dir: str | None = None,
 ) -> None:
     """Streaming crawl ingestion that ADMITS ONLY NOVEL documents: each
     micro-batch is deduped (a) within itself in crawl order
@@ -248,9 +249,25 @@ def incremental_ingest_dedup(
     fails the batch so the stream retries — it is NOT treated as
     "first batch" (ADVICE r4 #2). Rows without identity or text are
     dropped at the source (no stable doc_id → no dedup key).
+
+    ``store_dir`` (VERDICT r4 'Next round' #7 — ingest compaction):
+    when set, each admitted batch ALSO persists its shingles and
+    banded minhash signatures (``<store_dir>/shingles/batch_id=N``,
+    ``<store_dir>/bands/batch_id=N``) and later batches admit against
+    those stored sketches via ``admit_batch_against_store`` — the
+    corpus TEXT is never re-read or re-shingled, so per-batch admit
+    cost tracks |batch| + one scan of the compact sketch store instead
+    of growing with the full corpus. Admit decisions are
+    differential-equal to the recompute path (test_runner_streaming).
+    Store partitions get the same replay-safe own-partition exclusion
+    and overwrite semantics as the corpus; prior-batch store
+    partitions are always complete because the checkpoint offset
+    commits only after all three writes.
     """
     from knowledgegraphgenerator_spark.operators.dedup import (
         admit_batch,
+        admit_batch_against_store,
+        batch_signature_parts,
         crawl_dedup,
     )
     from knowledgegraphgenerator_spark.plans.runner import list_subdirs
@@ -264,25 +281,57 @@ def incremental_ingest_dedup(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
 
-    def _admit(batch_df, batch_id: int) -> None:
-        batch = crawl_dedup(batch_df, "text", "doc_id")
-        prior = [
-            d
-            for d in list_subdirs(spark, corpus_dir)
+    def _prior(root: str, batch_id: int) -> list[str]:
+        return [
+            f"{root}/{d}"
+            for d in list_subdirs(spark, root)
             if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
         ]
-        if prior:
-            old = spark.read.parquet(
-                *[f"{corpus_dir}/{d}" for d in prior]
+
+    def _admit(batch_df, batch_id: int) -> None:
+        batch = crawl_dedup(batch_df, "text", "doc_id")
+        if store_dir is not None:
+            prior_sh = _prior(f"{store_dir}/shingles", batch_id)
+            if prior_sh:
+                batch = admit_batch_against_store(
+                    batch,
+                    spark.read.parquet(*prior_sh),
+                    spark.read.parquet(
+                        *_prior(f"{store_dir}/bands", batch_id)
+                    ),
+                    "text", "doc_id", max_bucket=max_bucket,
+                )
+        else:
+            prior = _prior(corpus_dir, batch_id)
+            if prior:
+                old = spark.read.parquet(*prior)
+                batch = admit_batch(
+                    batch, old.select("doc_id", "text"), "text", "doc_id",
+                    max_bucket=max_bucket,
+                )
+        if store_dir is None:
+            (
+                batch.write.mode("overwrite")
+                .parquet(f"{corpus_dir}/batch_id={batch_id}")
             )
-            batch = admit_batch(
-                batch, old.select("doc_id", "text"), "text", "doc_id",
-                max_bucket=max_bucket,
+            return
+        # survivors feed three writes (corpus + 2 store frames):
+        # persist once so the admit join chain runs once, not thrice
+        batch = batch.persist()
+        try:
+            (
+                batch.write.mode("overwrite")
+                .parquet(f"{corpus_dir}/batch_id={batch_id}")
             )
-        (
-            batch.write.mode("overwrite")
-            .parquet(f"{corpus_dir}/batch_id={batch_id}")
-        )
+            sh, bands = batch_signature_parts(batch, "text", "doc_id")
+            sh.write.mode("overwrite").parquet(
+                f"{store_dir}/shingles/batch_id={batch_id}"
+            )
+            bands.write.mode("overwrite").parquet(
+                f"{store_dir}/bands/batch_id={batch_id}"
+            )
+        finally:
+            batch.unpersist()
 
     q = (
         incoming.writeStream.foreachBatch(_admit)

@@ -95,7 +95,13 @@ def test_oracle_handles_fallback_and_empty_docs():
     at_root = sorted(
         r[0] for r in con.sql(kg_docs_at_root_oracle_sql()).fetchall()
     )
-    assert at_root == [1, 2]
+    # the oracle unions the deterministic DOCS_AT_ROOT_SEEDS (round 5:
+    # pure-stopword docs that provably land at the bare root, keeping
+    # the driver row discriminating at every sf) — they must appear
+    # here alongside the corpus's own root-only docs
+    from knowledgegraphgenerator_spark.oracles_kg import DOCS_AT_ROOT_SEEDS
+
+    assert at_root == [1, 2] + [i for i, _, _ in DOCS_AT_ROOT_SEEDS]
 
     # D1 corpus-scale twin: zero-content docs are unflagged at 100
     from knowledgegraphgenerator_spark.oracles_kg import (

@@ -517,3 +517,121 @@ def test_incremental_ingest_dedup_replay_safe(spark, tmp_path):
     replayed = spark.read.parquet(corpus)
     assert {r.doc_id for r in replayed.collect()} == {1, 4}
     assert {r.batch_id for r in replayed.select("batch_id").collect()} == {0}
+
+
+def test_incremental_ingest_dedup_signature_store(spark, tmp_path):
+    """Store-backed ingest (VERDICT r4 #7): admitting against the
+    PERSISTED shingle/band sketch store must reach exactly the same
+    admit decisions as the recompute path, across two file drops with
+    within-batch clones, cross-batch exact dups, cross-batch near-dups
+    and novel docs — and a replayed batch (fresh checkpoint over the
+    same source) leaves corpus AND store intact."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"https://x/{i}", "2026-01-01 00:00:00", None, t, "en")
+                for i, t in rows
+            ],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    batch1 = [(1, base), (2, base), (3, base + " lambda"), (4, other)]
+    batch2 = [
+        (10, base),                       # exact dup of admitted 1
+        (11, base + " mu"),               # near-dup of admitted 1
+        (12, "totally novel document text with enough tokens here"),
+        (14, other + " twelve"),          # near-dup of admitted 4
+    ]
+
+    src = str(tmp_path / "src")
+    plain = str(tmp_path / "plain")
+    stored = str(tmp_path / "stored")
+    store = str(tmp_path / "store")
+
+    for n, batch in enumerate([batch1, batch2]):
+        mode = "overwrite" if n == 0 else "append"
+        pages(batch).write.mode(mode).parquet(src)
+        incremental_ingest_dedup(
+            spark, src, plain, str(tmp_path / "ckpt_plain")
+        )
+        incremental_ingest_dedup(
+            spark, src, stored, str(tmp_path / "ckpt_store"),
+            store_dir=store,
+        )
+        got_plain = {r.doc_id for r in spark.read.parquet(plain).collect()}
+        got_store = {r.doc_id for r in spark.read.parquet(stored).collect()}
+        assert got_plain == got_store, f"drop {n}"
+    assert got_store == {1, 4, 12}
+
+    # the store holds one sketch partition per batch, and its bands use
+    # the admit-join parameters (16 one-row bands)
+    sh = spark.read.parquet(f"{store}/shingles")
+    bands = spark.read.parquet(f"{store}/bands")
+    assert {r.doc_id for r in sh.select("doc_id").distinct().collect()} == {
+        1, 4, 12,
+    }
+    assert bands.select("band").distinct().count() == 16
+
+    # replay the LAST batch with corpus + store already written
+    incremental_ingest_dedup(
+        spark, src, stored, str(tmp_path / "ckpt_replay" / "c"),
+        store_dir=store,
+    )
+    assert {
+        r.doc_id for r in spark.read.parquet(stored).collect()
+    } == {1, 4, 12}
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/shingles")
+        .select("doc_id").distinct().collect()
+    } == {1, 4, 12}
+
+
+def test_stage_runner_cluster_fs_branch(spark, tmp_path, monkeypatch):
+    """Drive run_stage end-to-end through the NON-local branch (VERDICT
+    r4 'Next round' #6): ``_is_local_path`` is forced False so markers
+    go through the real Hadoop FileSystem API (``fs.create`` /
+    ``fs.exists``) and per-partition output counts come from the
+    one-job ``input_file_name`` readback — all against a genuine
+    ``file:``-scheme root on disk, no mocked FS objects."""
+    import knowledgegraphgenerator_spark.plans.runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "_is_local_path", lambda p: False)
+    root = "file:" + str(tmp_path / "stages")
+    runner = runner_mod.StageRunner(spark, root)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _corpus(spark)
+
+    df1 = runner.run_stage("stage_fs", build)
+    assert df1.count() == len(FAQ_QUESTIONS)
+    # marker written through fs.create is visible on the real disk
+    assert (tmp_path / "stages" / "stage_fs" / "_SUCCESS_STAGE").exists()
+    assert runner.is_committed("stage_fs")  # fs.exists path
+
+    # resume: existence check + load go through the Hadoop branch and
+    # the stage is NOT rebuilt
+    df2 = runner.run_stage("stage_fs", build)
+    assert calls["n"] == 1
+    assert df2.count() == len(FAQ_QUESTIONS)
+
+    # lineage captured per WRITE partition via the readback job
+    lin = runner.lineage().where("stage = 'stage_fs'").collect()
+    assert sum(r["output_rows"] for r in lin) == len(FAQ_QUESTIONS)
+    assert all(r["partition_id"] >= 0 for r in lin)
+
+    # list_subdirs exercises the listStatus branch on the same root
+    subs = runner_mod.list_subdirs(spark, root)
+    assert "stage_fs" in subs and "_lineage" in subs
