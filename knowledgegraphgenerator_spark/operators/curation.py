@@ -288,20 +288,23 @@ def cap_per_key(
     unique doc_id does). Two coded forms, differential-equal
     (tests/test_curation.py):
 
-    * ``variant="window"`` (default): one ``row_number`` window. A
-      single shuffle; the measured-faster plan for k in the thousands
-      on realistic key distributions — but windows are NOT
-      AQE-splittable, so a key with ~10^9 rows serializes onto one
-      task.
-    * ``variant="salted"``: the skew-proof two-pass form (VERDICT r4
+    * ``variant="window"`` (default): one ``row_number`` window —
+      and, measured rather than assumed (BENCH/SKEW_FALLBACKS.md),
+      ALREADY the skew-proof 100 TB plan: Catalyst plans the
+      ``rank <= k`` filter as ``WindowGroupLimit [key],[order],
+      row_number(), k, Partial`` BEFORE the Exchange (plan-pinned in
+      test_curation), so every map partition forwards at most k rows
+      per key and a 10^9-row hot key never reaches one task. A 60M-row
+      hot key: 2.1 s window vs 21.9 s salted on local[32].
+    * ``variant="salted"``: the explicit two-pass form (VERDICT r4
       'What's wrong' #3b, via operators/skew.salted_topk_per_key) —
-      pass 1 takes a local top-k within (key, salt) so a hot key
-      spreads over ``n_salts`` window partitions and at most
-      ``n_salts * k`` rows per key survive; pass 2 re-ranks that
-      bounded set. For the aggregate form
-      ``groupBy(key).agg(slice(sort_array(collect_list(...))))``
-      collect_list would materialize the whole group — the salted
-      pre-prune is what bounds memory.
+      pass 1 takes a local top-k within (key, salt), pass 2 re-ranks
+      the ≤ ``n_salts * k``-per-key survivors. Slower here (it pays
+      hashing + a second window for protection the optimizer already
+      provides); retained differential-tested and oracle-gated as the
+      engine-independent form and for rank shapes where group-limit
+      cannot fire (non-rank window functions, or k above
+      ``spark.sql.optimizer.windowGroupLimitThreshold``).
     """
     if variant == "salted":
         from knowledgegraphgenerator_spark.operators.skew import (
@@ -400,8 +403,13 @@ def remove_duplicate_spans(
     row-identical: differential-tested in test_curation.py including a
     crafted hot-shingle corpus, and both are driver-gated against the
     SAME DuckDB oracle (queries dup_span_removal /
-    dup_span_removal_hot). Measured on the skewed fixture in
-    BENCH/SKEW_FALLBACKS.md. At 100 TB the shuffle key becomes
+    dup_span_removal_hot). Measured (BENCH/SKEW_FALLBACKS.md): unlike
+    cap_per_key, no WindowGroupLimit can prune this window (count +
+    rank lower bound), yet the window default still wins to at least
+    4M occurrences per shingle (0.55 s vs 1.26 s — the groupby form
+    pays the double explode); select ``variant="groupby"`` when a
+    corpus profile shows boilerplate shingles past ~10^8 occurrences,
+    where one task cannot hold the partition. At 100 TB the shuffle key becomes
     ``xxhash64(shingle)`` instead of the string (the string form here
     keeps the DuckDB oracle exact; a collision merely merges two
     spans' counts, biasing toward removal).

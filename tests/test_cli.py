@@ -175,3 +175,83 @@ def test_cli_corpus_dedup_chain(spark, tmp_path):
     deduped = tset(out_d)
     assert deduped == tset(out_c)
     assert len(deduped) > 0
+
+
+def test_ingest_dictionary_stream_composition(spark, tmp_path):
+    """examples/INGEST_ENRICH.md end-to-end through the CLI: two crawl
+    drops with cross-batch exact duplicates → ingest (admit-only-novel
+    with the signature store) → dictionary refresh over the admitted
+    corpus → streaming enrichment reading the INGEST CORPUS as its
+    source. The streamed triples must equal a batch link of exactly
+    the admitted documents against the same frozen dictionary."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.core.stopwords import (
+        resolve_stop_words,
+    )
+    from knowledgegraphgenerator_spark.operators import linking, phrases
+    from knowledgegraphgenerator_spark.operators.triples import (
+        ontology_triples,
+    )
+    from knowledgegraphgenerator_spark.pipeline import normalize_corpus
+    from knowledgegraphgenerator_spark.sources.webpages import (
+        synthetic_web_pages,
+    )
+
+    pages = synthetic_web_pages(spark, 160, n_partitions=4).select(
+        "doc_id", "url", "warc_ts", "text", "lang"
+    )
+    drop1 = pages.where("doc_id % 2 = 0")
+    # drop 2 = the odd docs (novel) + exact clones of admitted docs
+    clones = drop1.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    drop2 = pages.where("doc_id % 2 = 1").unionByName(clones)
+
+    src = str(tmp_path / "crawl")
+    corpus_dir = str(tmp_path / "corpus")
+    store = str(tmp_path / "sketches")
+    ing = ["ingest", "--source", src, "--corpus", corpus_dir,
+           "--checkpoint", str(tmp_path / "ck_ing"), "--store", store]
+
+    drop1.write.mode("overwrite").parquet(src)
+    assert main(ing, spark=spark) == 0
+    drop2.write.mode("append").parquet(src)
+    assert main(ing, spark=spark) == 0
+
+    admitted = spark.read.parquet(corpus_dir)
+    adm_ids = {r.doc_id for r in admitted.select("doc_id").collect()}
+    # every clone rejected against the stored sketches
+    assert not any(i >= 100_000 for i in adm_ids)
+
+    dict_path = str(tmp_path / "dict")
+    assert main(
+        ["dictionary", "--input", corpus_dir, "--output", dict_path],
+        spark=spark,
+    ) == 0
+
+    out = str(tmp_path / "triples")
+    assert main(
+        ["stream", "--source", corpus_dir, "--dictionary", dict_path,
+         "--output", out, "--checkpoint", str(tmp_path / "ck_str")],
+        spark=spark,
+    ) == 0
+
+    stops = resolve_stop_words("en", None)
+    dictionary = phrases.load_ranked_dictionary(spark, dict_path, stops)
+    batch = ontology_triples(
+        linking.link_terms(
+            normalize_corpus(admitted.select("doc_id", "text", "lang")),
+            dictionary,
+        ),
+        row_local_dedup=True,
+    )
+
+    def multiset(df):
+        return sorted(
+            tuple(r) for r in df.select("subj", "pred", "obj").collect()
+        )
+
+    streamed = multiset(spark.read.parquet(out))
+    assert streamed == multiset(batch)
+    assert len(streamed) > 0

@@ -370,3 +370,27 @@ def test_cap_per_key_salted_differential(spark):
     assert cap_per_key(
         df, "source", "doc_id", 3, variant="salted"
     ).columns == df.columns
+
+
+def test_cap_per_key_window_group_limit_plan(spark):
+    """The window default's 100 TB posture rests on Catalyst's
+    rank-limit pushdown: the executed plan must contain a
+    ``WindowGroupLimit ... Partial`` node BEFORE the Exchange, which
+    caps every map partition at k rows per key so a hot key never
+    serializes onto one task (BENCH/SKEW_FALLBACKS.md, round 5)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+    )
+    plan = (
+        cap_per_key(df, "source", "doc_id", 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    partial = plan.index(", Partial")
+    assert partial > plan.index("Exchange"), (
+        "Partial group limit must appear below (after in text) the "
+        "Exchange, i.e. on the map side"
+    )
