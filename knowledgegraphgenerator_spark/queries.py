@@ -1419,6 +1419,40 @@ def q_kg_ancestor_closure(spark, sf_dir):
     return ancestor_closure(nt)
 
 
+def q_kg_closure_served(spark, sf_dir):
+    """Store-then-serve for the ITERATIVE consumer op (round 5, TODO r4
+    'possible depth'): triples materialized as the bucketBy(8, subj)
+    catalog table, then the full min-hop ancestor closure runs off the
+    STORED table with ``assume_distinct=True`` — the defensive dedup
+    would insert an Exchange that re-partitions the edges and defeats
+    the bucket layout the per-round hop join uses (single per-round
+    Exchange pinned in test_plans). Gated against the SAME recursive-
+    CTE oracle as the in-memory kg_ancestor_closure: serving the
+    closure off the store must be lossless, which also certifies the
+    stored narrower_than edge set is distinct (a duplicate row would
+    surface as a duplicated closure row and fail the hash)."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        ancestor_closure,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_triples_bucketed_table,
+    )
+    from knowledgegraphgenerator_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    result = run_pipeline(docs)
+    write_triples_bucketed_table(
+        result.triples, "kg_triples_closure_gate", n_buckets=8
+    )
+    result.close()
+    nt = (
+        spark.table("kg_triples_closure_gate")
+        .where(F.col("pred") == "narrower_than")
+        .select("subj", "obj")
+    )
+    return ancestor_closure(nt, assume_distinct=True)
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Corpus length-distribution check (the first gate a training-data
     pipeline runs before fixing token budgets): per-language doc count +
@@ -1567,17 +1601,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
     "kg_triples_blocked": q_kg_triples_blocked,
     "kg_triples_auto": q_kg_triples_auto,
-    "kg_ontology": q_kg_ontology,
     "kg_entity_degree": q_kg_entity_degree,
     "kg_two_hop": q_kg_two_hop,
     "kg_ancestor_closure": q_kg_ancestor_closure,
     "kg_two_hop_served": q_kg_two_hop_served,
+    "kg_closure_served": q_kg_closure_served,
     "kg_pagerank": q_kg_pagerank,
     "doc_path_coverage": q_doc_path_coverage,
     "docs_at_root": q_docs_at_root,
     # --- position 51+ (rotating tail, see comment above): stable
     # queries with green driver rows in r02-r04; certified by
     # scripts/full_gate.py every round
+    "kg_ontology": q_kg_ontology,
     "trigram_count": q_trigram_count,
     "dict_merge_priority": q_dict_merge_priority,
     "simhash16": q_simhash16,
@@ -2092,6 +2127,10 @@ ORACLES["kg_ontology"] = kg_ontology_oracle_sql()
 ORACLES["kg_entity_degree"] = kg_entity_degree_oracle_sql()
 ORACLES["kg_two_hop"] = kg_two_hop_oracle_sql()
 ORACLES["kg_ancestor_closure"] = kg_ancestor_closure_oracle_sql()
+# the served variant reads the SAME pipeline triples back from the
+# bucketed catalog table — lossless store-then-serve is exactly what
+# sharing the oracle verifies
+ORACLES["kg_closure_served"] = ORACLES["kg_ancestor_closure"]
 # store-then-serve must be lossless: the bucketed-table variant is gated
 # against the SAME oracle as the in-memory traversal
 ORACLES["kg_two_hop_served"] = kg_two_hop_oracle_sql()
