@@ -6,8 +6,10 @@ Two fixtures per operator:
              a window plan serializes onto a single task
 Each timing is min-of-2 (host slow-phase guard).
 """
-import sys, time, json
-sys.path.insert(0, "/root/repo")
+import os, sys, time, json
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 from pyspark.sql import functions as F
 from knowledgegraphgenerator_spark.session import get_spark
 from knowledgegraphgenerator_spark.sources.webpages import synthetic_web_pages

@@ -300,12 +300,16 @@ def main() -> None:
             "BENCH", "BENCH_LOCAL_latest.json",
         ),
     )
+    artifact_written = True
     try:
         with open(out_path, "w") as f:
             json.dump(full, f, indent=1)
             f.write("\n")
     except OSError:
-        pass  # read-only checkout: stdout still carries both payloads
+        # read-only checkout: stdout still carries both payloads; the
+        # compact line must NOT point at a file that was never written
+        # (it could be stale from a previous round)
+        artifact_written = False
     # full payload FIRST (head survives even a truncated capture) ...
     print(json.dumps(full), flush=True)
     # ... then stop (JVM GC/unified-logging lines land on stdout here
@@ -314,7 +318,11 @@ def main() -> None:
     # ... and the LAST line is the compact parse target
     compact = dict(core)
     compact["big_point"] = {k: v for k, v in big.items() if k != "basis"}
-    compact["basis"] = f"see {os.path.basename(out_path)}"
+    compact["basis"] = (
+        f"see {os.path.basename(out_path)}"
+        if artifact_written
+        else "see full payload line above (artifact write failed)"
+    )
     print(json.dumps(compact))
 
 

@@ -154,12 +154,17 @@ def write_triples_bucketed_table(
     qualified ``db.tbl`` would make the guessed ``<warehouse>/<name>``
     path wrong (the real layout is ``<warehouse>/<db>.db/<tbl>``) and
     could delete an unrelated directory sharing the name. When the
-    table is still registered, its REAL location is resolved from the
-    catalog (``DESCRIBE TABLE EXTENDED``) before the drop and that
-    path is deleted; the warehouse-derived path (current-database
+    table is still registered, its type and REAL location are
+    resolved from the catalog (``DESCRIBE TABLE EXTENDED``) before the
+    drop: an EXTERNAL table is REFUSED outright — DROP deliberately
+    preserves external data and this helper must never recursively
+    delete a shared location — while a managed table's resolved
+    location is deleted. The warehouse-derived path (current-database
     aware) is only the fallback for the orphaned-directory case where
     no catalog entry exists to consult."""
     import re
+
+    from knowledgegraphgenerator_spark.plans.runner import hadoop_fs
 
     spark = triples.sparkSession
     if not re.fullmatch(r"[a-z_][a-z0-9_]*", table):
@@ -169,10 +174,20 @@ def write_triples_bucketed_table(
         )
     location = None
     if spark.catalog.tableExists(table):
-        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-            if row.col_name == "Location":
-                location = row.data_type
-                break
+        info = {
+            row.col_name: row.data_type
+            for row in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table}"
+            ).collect()
+        }
+        if info.get("Type", "").upper() == "EXTERNAL":
+            raise ValueError(
+                f"refusing to overwrite EXTERNAL table {table!r}: its "
+                "location may be shared data that DROP TABLE "
+                "deliberately preserves — drop/relocate it explicitly "
+                "or pass a different table name"
+            )
+        location = info.get("Location")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if location is None:
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -182,9 +197,7 @@ def write_triples_bucketed_table(
             if db == "default"
             else f"{warehouse.rstrip('/')}/{db}.db/{table}"
         )
-    jvm = spark.sparkContext._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(location)
-    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs, loc = hadoop_fs(spark, location)
     if fs.exists(loc):
         fs.delete(loc, True)
     (

@@ -77,6 +77,30 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def list_children(spark: SparkSession, path: str) -> list[tuple[str, bool]]:
+    """Sorted ``(name, is_dir)`` for the immediate children of ``path``
+    (empty list when it does not exist) — local paths via ``os``,
+    cluster paths via the Hadoop FileSystem API. Lets callers validate
+    a directory's LAYOUT (e.g. the ingest corpus must contain only
+    ``batch_id=N`` partitions) instead of silently ignoring entries a
+    dirs-only listing cannot see."""
+    if _is_local_path(path):
+        local = _strip_file_scheme(path)
+        if not os.path.isdir(local):
+            return []
+        return sorted(
+            (n, os.path.isdir(os.path.join(local, n)))
+            for n in os.listdir(local)
+        )
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return sorted(
+        (st.getPath().getName(), bool(st.isDirectory()))
+        for st in fs.listStatus(hpath)
+    )
+
+
 def list_subdirs(spark: SparkSession, path: str) -> list[str]:
     """Sorted names of the immediate child DIRECTORIES of ``path``
     (empty list when ``path`` does not exist). Used to enumerate

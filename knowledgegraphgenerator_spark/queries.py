@@ -1552,8 +1552,8 @@ def q_kg_pagerank(spark, sf_dir):
 # CORRECTNESS_r{N} reports covers every registered name. Round-5
 # rotation: the six TPC-H-ish tail queries of r4 (hourly_event_counts,
 # parts_rollup, pricing_summary, top_orders_per_cust, cust_no_orders,
-# region_supplier_counts) move INTO the first 50; eight stable queries
-# with green driver rows in r02-r04 (trigram_count,
+# region_supplier_counts) move INTO the first 50; nine stable queries
+# with green driver rows in r02-r04 (kg_ontology, trigram_count,
 # dict_merge_priority, simhash16, canonical_urls, quality_score,
 # token_stats, token_stats_bpe, winnow_fingerprint) move to the tail.
 # The FULL registry — all entries, count-asserted — is certified every

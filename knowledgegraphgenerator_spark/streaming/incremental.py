@@ -260,9 +260,13 @@ def incremental_ingest_dedup(
     of growing with the full corpus. Admit decisions are
     differential-equal to the recompute path (test_runner_streaming).
     Store partitions get the same replay-safe own-partition exclusion
-    and overwrite semantics as the corpus; prior-batch store
-    partitions are always complete because the checkpoint offset
-    commits only after all three writes.
+    and overwrite semantics as the corpus. The CORPUS is the source of
+    truth and the store a derived cache: any prior corpus batch
+    missing from either store frame (store enabled mid-life, partial
+    restore, pruned bands) is BACKFILLED from corpus text before the
+    admit join, so cross-batch dedup is never silently skipped; a
+    corpus dir containing anything other than ``batch_id=N``
+    partitions fails loudly instead of deduping against nothing.
     """
     from knowledgegraphgenerator_spark.operators.dedup import (
         admit_batch,
@@ -270,7 +274,10 @@ def incremental_ingest_dedup(
         batch_signature_parts,
         crawl_dedup,
     )
-    from knowledgegraphgenerator_spark.plans.runner import list_subdirs
+    from knowledgegraphgenerator_spark.plans.runner import (
+        list_children,
+        list_subdirs,
+    )
 
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
@@ -281,34 +288,76 @@ def incremental_ingest_dedup(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
 
-    def _prior(root: str, batch_id: int) -> list[str]:
+    def _corpus_batches(batch_id: int) -> list[str]:
+        """Prior ``batch_id=K`` partition names of the corpus — the
+        SOURCE OF TRUTH for what has been admitted. Fails loudly on
+        any other layout: the old ``spark.read.parquet(corpus_dir)``
+        silently read arbitrary parquet, so a foreign-layout corpus
+        must not silently dedup against NOTHING instead."""
+        entries = list_children(spark, corpus_dir)
+        foreign = [
+            n for n, is_dir in entries
+            if not (is_dir and n.startswith("batch_id="))
+            and not n.startswith(("_", "."))
+        ]
+        if foreign:
+            raise ValueError(
+                f"corpus dir {corpus_dir} contains non-batch_id "
+                f"entries {foreign[:5]}: incremental_ingest_dedup "
+                "manages only batch_id=N partitions it wrote itself — "
+                "bootstrap an existing corpus by placing it under "
+                f"{corpus_dir}/batch_id=0"
+            )
         return [
-            f"{root}/{d}"
-            for d in list_subdirs(spark, root)
-            if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+            n for n, is_dir in entries
+            if is_dir
+            and n.startswith("batch_id=")
+            and n != f"batch_id={batch_id}"
         ]
 
     def _admit(batch_df, batch_id: int) -> None:
         batch = crawl_dedup(batch_df, "text", "doc_id")
+        prior = _corpus_batches(batch_id)
         if store_dir is not None:
-            prior_sh = _prior(f"{store_dir}/shingles", batch_id)
-            if prior_sh:
+            # the store is a derived CACHE of the corpus: any corpus
+            # batch missing from either store frame (pre-store
+            # history, partial restore, pruned bands) is backfilled
+            # from corpus text once, so enabling --store mid-life or
+            # repairing a damaged store never silently skips dedup
+            have_sh = set(list_subdirs(spark, f"{store_dir}/shingles"))
+            have_bands = set(list_subdirs(spark, f"{store_dir}/bands"))
+            for d in prior:
+                if d in have_sh and d in have_bands:
+                    continue
+                rows = spark.read.parquet(f"{corpus_dir}/{d}")
+                sh_b, band_b = batch_signature_parts(
+                    rows.select("doc_id", "text"), "text", "doc_id"
+                )
+                sh_b.write.mode("overwrite").parquet(
+                    f"{store_dir}/shingles/{d}"
+                )
+                band_b.write.mode("overwrite").parquet(
+                    f"{store_dir}/bands/{d}"
+                )
+            if prior:
                 batch = admit_batch_against_store(
                     batch,
-                    spark.read.parquet(*prior_sh),
                     spark.read.parquet(
-                        *_prior(f"{store_dir}/bands", batch_id)
+                        *[f"{store_dir}/shingles/{d}" for d in prior]
+                    ),
+                    spark.read.parquet(
+                        *[f"{store_dir}/bands/{d}" for d in prior]
                     ),
                     "text", "doc_id", max_bucket=max_bucket,
                 )
-        else:
-            prior = _prior(corpus_dir, batch_id)
-            if prior:
-                old = spark.read.parquet(*prior)
-                batch = admit_batch(
-                    batch, old.select("doc_id", "text"), "text", "doc_id",
-                    max_bucket=max_bucket,
-                )
+        elif prior:
+            old = spark.read.parquet(
+                *[f"{corpus_dir}/{d}" for d in prior]
+            )
+            batch = admit_batch(
+                batch, old.select("doc_id", "text"), "text", "doc_id",
+                max_bucket=max_bucket,
+            )
         if store_dir is None:
             (
                 batch.write.mode("overwrite")

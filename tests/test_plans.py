@@ -337,3 +337,41 @@ def test_closure_hop_join_bucketed_no_exchange(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_closure_edges")
+
+
+def test_bucketed_table_writer_guards(spark, tmp_path):
+    """Deletion-safety guards (ADVICE r4 #3 + code-review r5 #2): a
+    qualified or uppercase name is rejected before anything is
+    touched, and an EXTERNAL table is refused outright — its shared
+    location must survive untouched (DROP TABLE semantics)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_triples_bucketed_table,
+    )
+
+    trip = spark.createDataFrame(
+        [("a", "narrower_than", "b"), ("b", "narrower_than", "c")],
+        "subj string, pred string, obj string",
+    )
+    with pytest.raises(ValueError, match="unqualified"):
+        write_triples_bucketed_table(trip, "db.tbl")
+    with pytest.raises(ValueError, match="unqualified"):
+        write_triples_bucketed_table(trip, "BadCase")
+
+    loc = str(tmp_path / "ext_data")
+    trip.write.mode("overwrite").parquet(loc)
+    spark.sql("DROP TABLE IF EXISTS ext_guard_tbl")
+    spark.sql(
+        "CREATE TABLE ext_guard_tbl (subj string, pred string, "
+        f"obj string) USING parquet LOCATION '{loc}'"
+    )
+    try:
+        with pytest.raises(ValueError, match="EXTERNAL"):
+            write_triples_bucketed_table(trip, "ext_guard_tbl")
+        # the external data survived untouched
+        assert spark.read.parquet(loc).count() == 2
+        assert spark.catalog.tableExists("ext_guard_tbl")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_guard_tbl")

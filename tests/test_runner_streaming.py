@@ -635,3 +635,70 @@ def test_stage_runner_cluster_fs_branch(spark, tmp_path, monkeypatch):
     # list_subdirs exercises the listStatus branch on the same root
     subs = runner_mod.list_subdirs(spark, root)
     assert "stage_fs" in subs and "_lineage" in subs
+
+
+def test_incremental_ingest_store_backfill_and_layout_guard(
+    spark, tmp_path
+):
+    """Code-review r5 findings #1/#3/#4: (a) enabling --store AFTER
+    plain ingests must BACKFILL sketches for the pre-store corpus
+    batches — a batch of exact clones of pre-store docs is rejected,
+    not silently admitted; (b) a corpus dir with a foreign layout
+    (plain parquet files, no batch_id=N partitions) fails loudly
+    instead of deduping against nothing."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"https://x/{i}", "2026-01-01 00:00:00", None, t, "en")
+                for i, t in rows
+            ],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0 ingested WITHOUT a store
+    pages([(1, base), (4, "one two three four five six seven")]).write \
+        .mode("overwrite").parquet(src)
+    incremental_ingest_dedup(spark, src, corpus, ckpt)
+
+    # batch 1 WITH the store: doc 10 exactly clones pre-store doc 1 —
+    # the backfill must materialize batch-0 sketches so it is rejected
+    pages([(10, base), (12, "totally novel text with enough tokens")]) \
+        .write.mode("append").parquet(src)
+    incremental_ingest_dedup(spark, src, corpus, ckpt, store_dir=store)
+    assert {
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    } == {1, 4, 12}
+    # backfilled batch-0 sketches exist alongside batch-1's
+    sh_docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/shingles")
+        .select("doc_id").distinct().collect()
+    }
+    assert sh_docs == {1, 4, 12}
+
+    # foreign corpus layout -> loud failure, store or not
+    foreign = str(tmp_path / "foreign_corpus")
+    pages([(1, base)]).write.mode("overwrite").parquet(foreign)
+    pages([(2, base + " mu")]).write.mode("overwrite").parquet(
+        str(tmp_path / "src2")
+    )
+    with pytest.raises(Exception, match="non-batch_id"):
+        incremental_ingest_dedup(
+            spark, str(tmp_path / "src2"), foreign,
+            str(tmp_path / "ckpt2"),
+        )
