@@ -108,6 +108,23 @@ def _run(df) -> int:
         return df.count()
 
 
+def _host_probe() -> dict:
+    """Spark-free fixed-work probe (BENCH/cpu_probe.py's integer loop
+    at 8 concurrent workers, one repeat, ~4s): the absolute per-worker
+    wall is a round-over-round comparable measure of host phase. Read
+    suite deltas against it before blaming code — the box shows
+    multi-minute slow phases up to ~2x wall on identical work
+    (BENCH/BASELINE.md 'host phase noise'). Taken at both ends of the
+    run because phases drift within a single bench."""
+    import multiprocessing as mp
+
+    from BENCH.cpu_probe import _burn, _median
+
+    with mp.Pool(8) as pool:
+        walls = pool.map(_burn, [20_000_000] * 8)
+    return {"w8_wall_sec": round(_median(walls), 3), "work": 20_000_000}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -126,6 +143,7 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    probe_start = _host_probe()
 
     # warmup: JVM + Arrow + python workers + parquet reader
     QUERIES["kg_triples"](spark, "/root/testdata/sf0.001").count()
@@ -271,6 +289,10 @@ def main() -> None:
         "docs_per_sec": round(n_docs / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 1),
         "big_point": big,
+        # host-phase context: fixed-work per-worker wall at run start
+        # and end — compare THESE across rounds before reading a suite
+        # delta as a code change (BENCH/BASELINE.md 'host phase noise')
+        "host_probe": {"start": probe_start, "end": _host_probe()},
     }
     # headline basis, pinned so round-over-round numbers are comparable
     # without forensics (VERDICT r2 'What's wrong' #4); lives in the
@@ -286,7 +308,9 @@ def main() -> None:
         "protocol": (
             "one sf0.001 warmup; queries <2s report median-of-3, "
             "others min-of-2 (host slow-phase guard, r3); big point "
-            "min-of-2 per section (r5)"
+            "min-of-2 per section (r5); host_probe = fixed-work "
+            "per-worker wall at 8 procs taken at run start+end — "
+            "normalize suite deltas by it across rounds (r5)"
         ),
         "semantics_rev": (
             "r2 extraction semantics (reference-verbatim stop sets + "
