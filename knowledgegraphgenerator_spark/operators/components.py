@@ -193,3 +193,83 @@ def ancestor_closure(
         frontier = new
         depth += 1
     return closure
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    total_mass: int = 1_000_000,
+    teleport_mass: int = 150_000,
+    damping_pct: int = 85,
+    assume_distinct: bool = False,
+    persist: bool = True,
+) -> DataFrame:
+    """Fixed-k integer power-iteration PageRank over a (src, dst) edge
+    set — entity importance for KG consumers (the graph-scale
+    generalization of ranking reference ontology nodes by degree).
+
+    All arithmetic is INTEGER (micro-units of ``total_mass``; dangling
+    mass dropped): both engines use only nonnegative integer division,
+    so the DuckDB oracle (the same ``n_iters`` iterations unrolled as
+    CTEs, oracles_kg.kg_pagerank_oracle_sql) matches bit-for-bit — no
+    float-summation-order hazard.
+
+    Scale shape (same discipline as ancestor_closure):
+      * each iteration is one equi-join on src + one aggregation on
+        dst; the iterate is ``localCheckpoint``-ed so lineage stays
+        flat at 10^12-node scale;
+      * ``assume_distinct=True`` + ``persist=False`` is the SERVE
+        configuration for edges read from the ``bucketBy(subj)``
+        catalog table (write_triples_bucketed_table): the defensive
+        ``distinct`` would insert an Exchange that re-partitions the
+        edges and defeats the bucket layout, and a persist would hide
+        the bucketed scan behind an InMemoryRelation. On the bucketed
+        table the per-iteration contrib plan carries exactly TWO
+        Exchanges — the rank iterate and the final dst aggregation;
+        the edge scan and the out-degree aggregation ride the bucket
+        layout shuffle-free (pinned in test_plans).
+    """
+    spark = edges.sparkSession
+    nt = edges.select("src", "dst")
+    if not assume_distinct:
+        nt = nt.distinct()
+    if persist:
+        nt = nt.persist()
+    nodes = (
+        nt.select(F.col("src").alias("entity"))
+        .union(nt.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    if persist:
+        nodes = nodes.persist()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "entity string, pr long")
+    outdeg = nt.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pr = nodes.withColumn("pr", F.lit(total_mass // n).cast("long"))
+    tele = teleport_mass // n
+    for _ in range(n_iters):
+        contrib = (
+            nt.join(pr, nt["src"] == pr["entity"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("entity"),
+                F.expr("pr div outdeg").alias("c"),
+            )
+            .groupBy("entity")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, "entity", "left")
+            .select(
+                "entity",
+                (
+                    F.lit(tele)
+                    + F.expr(
+                        f"{damping_pct} * coalesce(contrib, 0L) div 100"
+                    )
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr

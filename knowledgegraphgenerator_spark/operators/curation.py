@@ -481,3 +481,117 @@ def remove_duplicate_spans(
             ).cast("long").alias("bytes_removed"),
         )
     )
+
+
+def benchmark_overlap(
+    doc_shingles: DataFrame,
+    bench_shingles: DataFrame,
+    threshold_permille: int = 200,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Eval-benchmark decontamination (the n-gram-overlap check every
+    serious training-data pipeline runs before a training shard ships —
+    GPT-3 Appendix C / PaLM §C / Llama-2 §A.6, all public): flag every
+    training document whose token shingles collide with a held-out
+    benchmark's shingle set.
+
+    ``doc_shingles``: distinct (doc_id, shingle) rows for the corpus;
+    ``bench_shingles``: (shingle) rows for the benchmark suite (any
+    duplicates are dropped here). Returns one row per document:
+    (doc_id, n_shingles, n_hit, contaminated_permille, verdict) with
+    verdict = 'drop' iff the integer per-mille overlap reaches
+    ``threshold_permille``.
+
+    Scale shape: benchmark suites are MEGABYTES (a few 10^5 questions)
+    against a 100 TB corpus, so the membership probe is a BROADCAST
+    left join — zero shuffle, pipelined into the corpus scan — and the
+    only Exchange in the whole plan is the per-doc aggregation, which
+    partial-aggregates map-side. The hit flag rides the same pass that
+    counts total shingles (ONE pass over the shingle set, not a
+    semi-join plus a second scan). ``use_broadcast=False`` drops the
+    hint for a benchmark set too large to broadcast; the plan becomes
+    a shingle-keyed equi-join (still never all-pairs).
+    """
+    bench = bench_shingles.select("shingle").distinct()
+    if use_broadcast:
+        bench = F.broadcast(bench)
+    marked = doc_shingles.join(
+        bench.withColumn("hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.expr("n_hit * 1000 div n_shingles").cast("long")
+            .alias("contaminated_permille"),
+            F.when(
+                F.expr("n_hit * 1000 div n_shingles")
+                >= threshold_permille,
+                F.lit("drop"),
+            ).otherwise(F.lit("keep")).alias("verdict"),
+        )
+    )
+
+
+def domain_mixture_rebalance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    budget_permille: int = 500,
+    mod: int = 1000,
+) -> DataFrame:
+    """Mixture rebalancing toward a UNIFORM per-domain share (the
+    data-mixing step of web-corpus pipelines — The Pile / DoReMi-style
+    reweighting, applied here as deterministic downsampling): derive a
+    per-domain keep rate from the observed domain counts so the output
+    approaches ``budget_permille``/1000 of the corpus split evenly
+    across domains, then keep rows by the same overflow-free
+    MINSTD modular scramble as mod_stratified_sample — no RNG,
+    bit-reproducible on any engine.
+
+    Rate derivation (all int64, engine-exact): with per-domain counts
+    c_d over D domains and total T,
+        budget   B = T * budget_permille // 1000
+        target   t = B // D            (uniform share)
+        rate_d     = min(1000, t * 1000 // c_d)
+    Head domains get clamped down to their share; domains smaller than
+    the share keep everything (rate 1000) — exactly the flattening a
+    mixture rebalance is for. Output keeps every input column.
+
+    Scale shape: ONE aggregation over the domain key (map-side partial;
+    domain cardinality ≪ corpus size), a single-row totals aggregate
+    crossJoin-broadcast onto it, and a BROADCAST join of the resulting
+    rate table back onto the corpus — the corpus itself is never
+    shuffled, the filter pipelines into the scan. Domains are
+    config-cardinality (TLD+1 buckets, not URLs); a million-domain
+    rate table is still a few MB and broadcastable.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("d")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        domain_col,
+        F.least(
+            F.lit(1000),
+            F.expr(
+                f"(total * {budget_permille} div 1000 div d) * 1000 div c"
+            ),
+        ).cast("long").alias("rate_permille"),
+    )
+    prime = 1_000_000_007
+    bucket = F.pmod(
+        F.pmod(F.col(id_col), F.lit(prime)) * F.lit(48271), F.lit(mod)
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(bucket < F.col("rate_permille"))
+        .drop("rate_permille")
+    )

@@ -375,3 +375,83 @@ def test_bucketed_table_writer_guards(spark, tmp_path):
         assert spark.catalog.tableExists("ext_guard_tbl")
     finally:
         spark.sql("DROP TABLE IF EXISTS ext_guard_tbl")
+
+
+def test_pagerank_contrib_bucketed_two_exchanges(spark):
+    """integer_pagerank served off the bucketed triple table: in the
+    per-iteration contrib plan the edge scan and the out-degree
+    aggregation must ride the bucket layout — with broadcast disabled,
+    exactly TWO shuffles remain (the rank iterate keyed on entity and
+    the final dst aggregation). A defensive .distinct() or a persist on
+    the edges would add a third and defeat the store's layout."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.operators.components import (
+        integer_pagerank,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_triples_bucketed_table,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", "narrower_than", f"n{i // 2}") for i in range(1, 64)],
+        "subj string, pred string, obj string",
+    )
+    write_triples_bucketed_table(edges, "t_pr_edges", n_buckets=8)
+    try:
+        nt = (
+            spark.table("t_pr_edges")
+            .where(F.col("pred") == "narrower_than")
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            # the exact per-iteration contrib shape the operator builds
+            pr = (
+                nt.select(F.col("src").alias("entity"))
+                .union(nt.select(F.col("dst").alias("entity")))
+                .distinct()
+                .localCheckpoint()
+                .withColumn("pr", F.lit(1000).cast("long"))
+            )
+            outdeg = nt.groupBy("src").agg(
+                F.count(F.lit(1)).alias("outdeg")
+            )
+            contrib = (
+                nt.join(pr, nt["src"] == pr["entity"])
+                .join(outdeg, "src")
+                .select(
+                    F.col("dst").alias("entity"),
+                    F.expr("pr div outdeg").alias("c"),
+                )
+                .groupBy("entity")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            plan = (
+                contrib._jdf.queryExecution().executedPlan().toString()
+            )
+            nb = plan.count("Exchange") - plan.count("BroadcastExchange")
+            assert nb == 2, plan
+            # and the full served configuration is value-identical to
+            # the in-memory operator on the same edges
+            served = {
+                tuple(r)
+                for r in integer_pagerank(
+                    nt, assume_distinct=True, persist=False
+                ).collect()
+            }
+            plain = {
+                tuple(r)
+                for r in integer_pagerank(
+                    edges.select(
+                        F.col("subj").alias("src"),
+                        F.col("obj").alias("dst"),
+                    )
+                ).collect()
+            }
+            assert served == plain and len(plain) > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pr_edges")
