@@ -92,6 +92,10 @@ HEADLINE = [
     "pii_scrub",
     "repetition_signals",
     "chunk_by_tokens",
+    # round 5: eval-benchmark decontamination (broadcast membership
+    # probe) + uniform-mixture rebalance (rate derivation + MINSTD keep)
+    "benchmark_overlap",
+    "domain_mixture_rebalance",
     "pricing_summary",
     "top_orders_per_cust",
     "sessionize",
@@ -276,6 +280,44 @@ def main() -> None:
             ),
         }
 
+    # ---- multimodal decode-plumbing point (round 5, TODO r4 'possible
+    # depth'): times the byte-budget-re-chunked mapInPandas path on
+    # binary payloads synthesized JVM-side from the sf corpus (payload =
+    # text repeated 50x cast to binary, ~100 KB/doc at sf0.1 — large
+    # enough that the 64 MB batch budget actually re-chunks). The codec
+    # is the disclosed deterministic fake; what this measures is the
+    # Arrow transfer + re-chunk + per-batch Python cost that a real
+    # decoder would ride.
+    mm_docs = docs.select(
+        "doc_id",
+        F.expr("cast(repeat(text, 50) as binary)").alias("payload"),
+    )
+    mm_bytes = mm_docs.agg(
+        F.sum(F.length("payload")).alias("b")
+    ).first()["b"]
+    from knowledgegraphgenerator_spark.operators.multimodal import (
+        decode_and_featurize,
+    )
+
+    mm_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        mm_rows = decode_and_featurize(
+            mm_docs, deterministic_fake=True
+        ).count()
+        mm_sec = min(mm_sec, time.perf_counter() - t0)
+    multimodal = {
+        "docs": mm_rows,
+        "payload_bytes": int(mm_bytes),
+        "decode_sec": round(mm_sec, 3),
+        "payload_mb_per_sec": round(mm_bytes / mm_sec / (1 << 20), 1),
+        "basis": (
+            "min-of-2; deterministic-fake codec (disclosed stub) over "
+            "byte-budget-re-chunked mapInPandas; payload = sf text "
+            "repeated 50x as binary"
+        ),
+    }
+
     total = round(sum(timings.values()), 3)
     core = {
         "metric": "kg_construct_suite_sec",
@@ -289,6 +331,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 1),
         "big_point": big,
+        "multimodal": multimodal,
         # host-phase context: fixed-work per-worker wall at run start
         # and end — compare THESE across rounds before reading a suite
         # delta as a code change (BENCH/BASELINE.md 'host phase noise')

@@ -111,6 +111,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "sketches and admit later batches against the stored "
              "sketches instead of re-reading the corpus text",
     )
+    ing.add_argument(
+        "--benchmark", default=None,
+        help="parquet of benchmark (shingle string) rows: drop "
+             "contaminated documents (n-gram overlap >= 200 permille) "
+             "from each batch BEFORE dedup/admit",
+    )
 
     for p in (faq, corpus, an, syn, dd, st, ing):
         p.add_argument("--v", action="store_true", help="verbose")
@@ -248,6 +254,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             incremental_ingest_dedup(
                 spark, args.source, args.corpus, args.checkpoint,
                 store_dir=args.store,
+                benchmark_dir=args.benchmark,
             )
         elif args.cmd == "synonyms":
             from knowledgegraphgenerator_spark.operators.word2vec import (

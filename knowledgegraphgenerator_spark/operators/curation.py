@@ -488,6 +488,7 @@ def benchmark_overlap(
     bench_shingles: DataFrame,
     threshold_permille: int = 200,
     use_broadcast: bool = True,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Eval-benchmark decontamination (the n-gram-overlap check every
     serious training-data pipeline runs before a training shard ships —
@@ -519,14 +520,14 @@ def benchmark_overlap(
         bench.withColumn("hit", F.lit(1)), "shingle", "left"
     )
     return (
-        marked.groupBy("doc_id")
+        marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0)))
             .cast("long").alias("n_hit"),
         )
         .select(
-            "doc_id",
+            id_col,
             "n_shingles",
             "n_hit",
             F.expr("n_hit * 1000 div n_shingles").cast("long")
@@ -538,6 +539,48 @@ def benchmark_overlap(
             ).otherwise(F.lit("keep")).alias("verdict"),
         )
     )
+
+
+def drop_contaminated(
+    df: DataFrame,
+    bench_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_permille: int = 200,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """Decontamination as a FILTER: remove every document whose k-gram
+    shingle overlap with the benchmark set reaches
+    ``threshold_permille`` (benchmark_overlap's 'drop' verdict), keep
+    everything else — including documents too short to shingle, which
+    cannot overlap anything. Keeps all input columns.
+
+    Scale shape: the flag computation is benchmark_overlap (broadcast
+    membership probe + one per-doc agg); the resulting drop list is a
+    tiny fraction of the corpus (that is the point of shipping clean
+    benchmarks), so it comes back as a BROADCAST anti-join — the corpus
+    itself is never shuffled by the filter.
+    """
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        token_shingles,
+    )
+
+    sh = token_shingles(df.select(id_col, text_col), text_col, id_col, k)
+    dropped = (
+        benchmark_overlap(
+            sh,
+            bench_shingles,
+            threshold_permille=threshold_permille,
+            use_broadcast=use_broadcast,
+            id_col=id_col,
+        )
+        .where(F.col("verdict") == "drop")
+        .select(id_col)
+    )
+    if use_broadcast:
+        dropped = F.broadcast(dropped)
+    return df.join(dropped, id_col, "left_anti")
 
 
 def domain_mixture_rebalance(

@@ -224,6 +224,8 @@ def incremental_ingest_dedup(
     checkpoint_dir: str,
     max_bucket: int | None = 1000,
     store_dir: str | None = None,
+    benchmark_dir: str | None = None,
+    contamination_threshold_permille: int = 200,
 ) -> None:
     """Streaming crawl ingestion that ADMITS ONLY NOVEL documents: each
     micro-batch is deduped (a) within itself in crawl order
@@ -267,6 +269,19 @@ def incremental_ingest_dedup(
     admit join, so cross-batch dedup is never silently skipped; a
     corpus dir containing anything other than ``batch_id=N``
     partitions fails loudly instead of deduping against nothing.
+
+    ``benchmark_dir``: parquet of (shingle string) rows — an eval
+    benchmark's token-3-gram shingle set. When set, each batch is
+    DECONTAMINATED first (curation.drop_contaminated: docs whose
+    shingle overlap reaches ``contamination_threshold_permille`` are
+    dropped), BEFORE dedup/admit — so a contaminated document neither
+    enters the corpus nor becomes the crawl-order canonical that
+    shadows a clean near-duplicate. The benchmark frame is read once
+    at stream start and broadcast per batch (benchmarks are frozen for
+    a stream's lifetime and MB-sized, same discipline as the frozen
+    linking dictionary). Admit decisions are differential-equal to the
+    sequential decontaminate → crawl_dedup → admit chain
+    (test_runner_streaming).
     """
     from knowledgegraphgenerator_spark.operators.dedup import (
         admit_batch,
@@ -278,6 +293,14 @@ def incremental_ingest_dedup(
         list_children,
         list_subdirs,
     )
+
+    bench = None
+    if benchmark_dir is not None:
+        from knowledgegraphgenerator_spark.operators.curation import (
+            drop_contaminated,
+        )
+
+        bench = spark.read.parquet(benchmark_dir).select("shingle")
 
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
@@ -316,6 +339,12 @@ def incremental_ingest_dedup(
         ]
 
     def _admit(batch_df, batch_id: int) -> None:
+        if bench is not None:
+            batch_df = drop_contaminated(
+                batch_df,
+                bench,
+                threshold_permille=contamination_threshold_permille,
+            )
         batch = crawl_dedup(batch_df, "text", "doc_id")
         prior = _corpus_batches(batch_id)
         if store_dir is not None:

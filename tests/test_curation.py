@@ -562,3 +562,42 @@ def test_domain_mixture_rebalance_negative_ids(spark):
              * 48271) % 1000 < 275
     )
     assert by["x"] == expect_x
+
+
+def test_drop_contaminated_filter(spark):
+    """drop_contaminated keeps all input columns, drops only docs at or
+    above the threshold, and keeps docs too short to shingle (they
+    cannot overlap anything)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.curation import (
+        drop_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "the quick brown cat sleeps now", "en"),  # 250 permille
+            (3, "entirely unrelated text body here", "de"),
+            (4, "too short", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    bench = (
+        docs.where(F.col("doc_id") == 1)
+        .select(F.split("text", " ").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks)-2, 0)),"
+                    " (x, i) -> concat(x, ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            ).alias("shingle")
+        )
+    )
+    kept = drop_contaminated(docs, bench, threshold_permille=200)
+    assert set(kept.columns) == {"doc_id", "text", "lang"}
+    assert {r.doc_id for r in kept.collect()} == {3, 4}
+    # higher threshold: the partial borrow survives
+    kept2 = drop_contaminated(docs, bench, threshold_permille=300)
+    assert {r.doc_id for r in kept2.collect()} == {2, 3, 4}

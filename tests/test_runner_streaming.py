@@ -702,3 +702,94 @@ def test_incremental_ingest_store_backfill_and_layout_guard(
             spark, str(tmp_path / "src2"), foreign,
             str(tmp_path / "ckpt2"),
         )
+
+
+def test_incremental_ingest_dedup_benchmark(spark, tmp_path):
+    """Decontaminating ingestion (--benchmark): contaminated documents
+    are dropped BEFORE dedup/admit, so (a) they never enter the corpus
+    and (b) a contaminated crawl-order canonical cannot shadow a clean
+    near-duplicate — the decisive ordering case: doc 1 (contaminated)
+    and doc 2 (clean, Jaccard 0.905 near-dup of 1) — dedup-first would
+    collapse 2 into 1 and then drop 1, admitting NOTHING; the
+    decontaminate-first stream admits 2. Stream decisions ==
+    the sequential drop_contaminated -> crawl_dedup -> admit_batch
+    chain across two drops."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.operators.curation import (
+        drop_contaminated,
+    )
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        admit_batch,
+        crawl_dedup,
+    )
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    ts = " ".join(f"t{i}" for i in range(4, 23))  # t4..t22
+    doc1 = f"b1 b2 b3 {ts}"   # 20 shingles, 4 bench hits = 200 permille
+    doc2 = f"x1 b2 b3 {ts}"   # 3 bench hits = 150 permille -> clean
+    other = "one two three four five six seven eight nine ten eleven"
+
+    bench = spark.createDataFrame(
+        [("b1 b2 b3",), ("b2 b3 t4",), ("b3 t4 t5",), ("t4 t5 t6",)],
+        "shingle string",
+    )
+    bench_path = str(tmp_path / "bench")
+    bench.write.mode("overwrite").parquet(bench_path)
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"https://x/{i}",
+                 "2026-01-01 00:00:00", None, t, "en")
+                for i, t in rows
+            ],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    batch1 = [(1, doc1), (2, doc2), (4, other)]
+    batch2 = [
+        (11, doc2),                       # exact dup of admitted 2
+        (12, doc1),                       # contaminated again
+        (13, "totally novel document text with enough tokens here"),
+    ]
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages(batch1).write.mode("overwrite").parquet(src)
+    incremental_ingest_dedup(
+        spark, src, corpus, ckpt, benchmark_dir=bench_path
+    )
+    admitted1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    expect1 = {
+        r.doc_id
+        for r in crawl_dedup(
+            drop_contaminated(pages(batch1), bench), "text", "doc_id"
+        ).collect()
+    }
+    # the contaminated canonical is gone, its clean near-dup admitted
+    assert admitted1 == expect1 == {2, 4}
+
+    pages(batch2).write.mode("append").parquet(src)
+    incremental_ingest_dedup(
+        spark, src, corpus, ckpt, benchmark_dir=bench_path
+    )
+    admitted2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    old = spark.read.parquet(corpus).where("batch_id = 0").select(
+        "doc_id", "text"
+    )
+    expect2 = expect1 | {
+        r.doc_id
+        for r in admit_batch(
+            crawl_dedup(
+                drop_contaminated(pages(batch2), bench), "text", "doc_id"
+            ),
+            old, "text", "doc_id",
+        ).collect()
+    }
+    assert admitted2 == expect2 == {2, 4, 13}
