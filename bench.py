@@ -96,6 +96,7 @@ HEADLINE = [
     # probe) + uniform-mixture rebalance (rate derivation + MINSTD keep)
     "benchmark_overlap",
     "domain_mixture_rebalance",
+    "training_shards",
     "pricing_summary",
     "top_orders_per_cust",
     "sessionize",

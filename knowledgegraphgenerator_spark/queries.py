@@ -1586,6 +1586,28 @@ def q_domain_mixture_rebalance(spark, sf_dir):
     ).select("doc_id", "source", "lang")
 
 
+def q_training_shards(spark, sf_dir):
+    """Training-shard materialization summary: deterministic MINSTD
+    shard assignment (8 shards) + concat-and-chunk sequence packing
+    (budget 256 tokens; a doc's pack is the fixed window containing its
+    first token), aggregated to per-(shard, pack) doc and token counts.
+    Operators: shards.assign_shards / shards.pack_sequences — one
+    shuffle on the shard key, the per-shard layout window IS the shard
+    file order. Oracle mirrors the scramble (explicit pmod) and the
+    cumsum window exactly."""
+    from knowledgegraphgenerator_spark.operators.shards import (
+        assign_shards,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(assign_shards(docs, 8), 256)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 # Registry ORDER is deliberate: the driver gate reports exactly the
 # FIRST 50 registry entries, so the first 50 slots carry every query
 # that is new or changed this round, and the tail ROTATES (VERDICT r4
@@ -1597,9 +1619,10 @@ def q_domain_mixture_rebalance(spark, sf_dir):
 # with green driver rows in r02-r04 (kg_ontology, trigram_count,
 # dict_merge_priority, simhash16, canonical_urls, quality_score,
 # token_stats, token_stats_bpe, winnow_fingerprint, lang_id_heuristic,
-# pii_scrub, repetition_signals) move to the tail to make room for the
-# three NEW round-5 queries (kg_pagerank_served, benchmark_overlap,
-# domain_mixture_rebalance), which take first-50 slots.
+# pii_scrub, repetition_signals, domain_cap) move to the tail to make
+# room for the four NEW round-5 queries (kg_pagerank_served,
+# benchmark_overlap, domain_mixture_rebalance, training_shards), which
+# take first-50 slots.
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1617,7 +1640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "benchmark_overlap": q_benchmark_overlap,
     "domain_mixture_rebalance": q_domain_mixture_rebalance,
-    "domain_cap": q_domain_cap,
+    "training_shards": q_training_shards,
     "domain_cap_salted": q_domain_cap_salted,
     "stratified_sample": q_stratified_sample,
     "chunk_by_tokens": q_chunk_by_tokens,
@@ -1659,6 +1682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
+    "domain_cap": q_domain_cap,
     "kg_ontology": q_kg_ontology,
     "trigram_count": q_trigram_count,
     "dict_merge_priority": q_dict_merge_priority,
@@ -2215,6 +2239,22 @@ ORACLES["domain_mixture_rebalance"] = (
     "SELECT doc_id, source, lang FROM documents JOIN r USING (source)"
     " WHERE ((((doc_id % 1000000007) + 1000000007) % 1000000007)"
     " * 48271) % 1000 < rate"
+)
+ORACLES["training_shards"] = (
+    "WITH t AS (SELECT doc_id,"
+    " ((((doc_id % 1000000007) + 1000000007) % 1000000007) * 48271)"
+    " % 8 AS shard,"
+    " len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    " AS n_tokens FROM documents), "
+    "p AS (SELECT shard, doc_id, n_tokens,"
+    " sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens"
+    " AS start_offset FROM t WHERE n_tokens > 0) "
+    "SELECT CAST(shard AS BIGINT) AS shard,"
+    " CAST(start_offset // 256 AS BIGINT) AS pack_id,"
+    " CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_tokens) AS BIGINT) AS n_tokens"
+    " FROM p GROUP BY shard, start_offset // 256"
 )
 ORACLES["doc_path_coverage"] = kg_path_coverage_oracle_sql()
 ORACLES["docs_at_root"] = kg_docs_at_root_oracle_sql()
