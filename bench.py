@@ -97,6 +97,14 @@ HEADLINE = [
     "benchmark_overlap",
     "domain_mixture_rebalance",
     "training_shards",
+    # round 5 (late): recrawl collapse (canonicalize -> one combinable
+    # max-over-struct groupBy(url)), retention-policy dedup (the
+    # neardup chain -> keep best-quality member per cluster),
+    # incremental-crawl snapshot diff, and web link-graph construction
+    "latest_crawl",
+    "neardup_keep_best",
+    "crawl_delta",
+    "host_link_graph",
     "pricing_summary",
     "top_orders_per_cust",
     "sessionize",
@@ -258,6 +266,36 @@ def main() -> None:
             ).count()
             big_nd_sec = min(big_nd_sec, time.perf_counter() - t0)
         uniq.unpersist()
+        # decontamination at corpus scale (round 5): benchmark = the
+        # 8-gram shingles of a ~1/1009 doc carve-out (broadcast-sized,
+        # like a real eval suite; 8-grams for specificity — GPT-3-style
+        # long-n-gram overlap, so only genuine clones of carved docs
+        # trip the threshold, not vocabulary-level 3-gram noise); timed
+        # as the full drop filter over all 10^6 docs — the broadcast
+        # membership probe + anti-join shape that never shuffles the
+        # corpus.
+        from knowledgegraphgenerator_spark.operators.curation import (
+            drop_contaminated,
+        )
+        from knowledgegraphgenerator_spark.operators.dedup import (
+            token_shingles,
+        )
+        import pyspark.sql.functions as _F
+
+        bench_sh = token_shingles(
+            corpus.where(_F.pmod(_F.col("doc_id"), _F.lit(1009)) == 0)
+            .select("doc_id", "text"),
+            "text", "doc_id", 8,
+        ).select("shingle").distinct().persist()
+        n_bench = bench_sh.count()
+        big_decon_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            big_decon_kept = drop_contaminated(
+                corpus.select("doc_id", "text"), bench_sh, k=8
+            ).count()
+            big_decon_sec = min(big_decon_sec, time.perf_counter() - t0)
+        bench_sh.unpersist()
         big = {
             "docs": big_docs,
             "kg_sec": round(big_kg_sec, 3),
@@ -271,6 +309,10 @@ def main() -> None:
             "neardup_sec": round(big_nd_sec, 3),
             "neardup_input_docs": big_exact_kept,
             "neardup_kept": big_kept,
+            "decon_bench_shingles": n_bench,
+            "decon_sec": round(big_decon_sec, 3),
+            "decon_docs_per_sec": round(big_docs / big_decon_sec, 1),
+            "decon_kept": big_decon_kept,
             "basis": (
                 "min-of-2 per section (kg pipeline / exact dedup / "
                 "near-dedup sweep — host slow-phase guard, r5), "

@@ -106,6 +106,49 @@ def connected_components(
     return labels.unionByName(roots)
 
 
+def keep_best_per_cluster(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Cluster-representative selection: given near-dup cluster labels
+    (``connected_components`` output) and a per-document quality score,
+    keep the HIGHEST-scoring member of each cluster, ties broken by the
+    smallest id — the RefinedWeb/FineWeb retention policy (the survivor
+    of fuzzy dedup is the best copy, not the first-seen copy; contrast
+    ``exact_dedup``'s min-id keep, synonym_generator.py:33-39).
+
+    Output: (component, kept_id, best_score, n_members), one row per
+    cluster.
+
+    Scale shape: one equi-join of labels to scores on the id (both
+    sides are id-keyed; co-partitions under AQE) and ONE combinable
+    max-over-struct aggregate on the component key — map-side partial
+    max collapses a pathological 10^6-member clone cluster to one row
+    per mapper before the shuffle, where a row_number window would
+    serialize it onto a single task. ``id_col`` must be non-negative
+    (the tie-break negates it)."""
+    m = labels.join(scores, id_col)
+    w = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+    )
+    return (
+        m.groupBy(comp_col)
+        .agg(
+            F.max(w).alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            comp_col,
+            (-F.col("w.neg_id")).alias("kept_id"),
+            F.col("w.s").alias("best_score"),
+            "n_members",
+        )
+    )
+
+
 def canonicalize_terms(
     terms: DataFrame,
     pairs: DataFrame,

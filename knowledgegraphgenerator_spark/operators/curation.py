@@ -638,3 +638,88 @@ def domain_mixture_rebalance(
         .where(bucket < F.col("rate_permille"))
         .drop("rate_permille")
     )
+
+
+def latest_snapshot_per_url(
+    df: DataFrame,
+    url_col: str = "canonical_url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Recrawl collapse: keep exactly ONE snapshot per URL — the row
+    with the newest ``ts_col``, ties broken by the SMALLEST ``id_col``
+    (deterministic; a crawl frontier can fetch the same page twice in
+    one cycle with identical timestamps). This is the snapshot-selection
+    step every Common-Crawl-style corpus needs before dedup/extraction:
+    the same url appears once per crawl (the reference's FAQ loaders
+    assume last-write-wins per question id the same way —
+    /root/reference/faq_json_reader.py:24-33's dict overwrite).
+
+    Output: one row per url with ``n_snapshots`` (how many crawls were
+    collapsed) plus the kept row's ``ts_col``/``id_col``/payload.
+
+    Scale shape: a single groupBy(url) with max-over-struct — structs
+    compare lexicographically, so max(struct(ts, -id, payload)) selects
+    newest-ts-then-lowest-id in ONE combinable aggregate. Unlike a
+    row_number window, the partial max runs map-side, so a hot URL
+    (a clone-farm page crawled 10^6 times) collapses to one row per
+    mapper before the shuffle — no single-task window partition at
+    100 TB. ``id_col`` must be non-negative (the tie-break negates it;
+    Long.MIN would overflow)."""
+    w = F.struct(
+        F.col(ts_col).alias("ts"),
+        (-F.col(id_col)).alias("neg_id"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    agg = df.groupBy(url_col).agg(
+        F.max(w).alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+    )
+    return agg.select(
+        url_col,
+        F.col("w.ts").alias(ts_col),
+        (-F.col("w.neg_id")).alias(id_col),
+        *[F.col(f"w.{c}").alias(c) for c in payload_cols],
+        "n_snapshots",
+    )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "page_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Snapshot diff between two crawl cycles: full-outer join two
+    (key, content_hash) frames and classify every page as
+    'added' (new only), 'removed' (old only), 'changed' (both, hash
+    differs), or 'unchanged'. This is the incremental-corpus primitive:
+    only 'added'+'changed' pages need re-extraction/re-linking, so a
+    recrawl costs work proportional to the DELTA, not the corpus (the
+    batch twin of streaming admit-only-novel ingestion,
+    streaming/incremental.py:220). Inputs must already be one row per
+    key (run latest_snapshot_per_url first on raw crawl logs).
+
+    Output: (key, status, old_hash, new_hash); old_hash/new_hash are
+    NULL on the missing side.
+
+    Scale shape: ONE equi-shuffle full-outer join on the page key. Both
+    crawl snapshots stored bucketed by the key (the triple-store layout,
+    operators/triples.py:133) make it exchange-free; the key is unique
+    per side, so there is no skew to salt."""
+    o = old.select(
+        F.col(key_col).alias("k"), F.col(hash_col).alias("old_hash")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), F.col(hash_col).alias("new_hash")
+    )
+    return o.join(n, "k", "full_outer").select(
+        F.col("k").alias(key_col),
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")).alias("status"),
+        "old_hash",
+        "new_hash",
+    )

@@ -1,0 +1,85 @@
+"""Web link-graph construction: href extraction from raw HTML and
+host-level edge aggregation — the link-structure half of KG construction
+from a Common-Crawl-style corpus (the reference builds only the
+term/document graph from FAQ text, /root/reference/kg_generator.py; a
+web corpus additionally carries hyperlink structure, and the host graph
+is what PageRank-style authority scoring and crawl prioritization run
+on).
+
+Scale shape: extraction is a NARROW regexp projection (zero shuffle —
+pipelines into the parquet/WARC scan, one row per page in, exploded
+links out); the edge aggregation is ONE combinable groupBy on
+(src_host, dst_host) with map-side partial counts. Host cardinality is
+~10^8 at web scale vs 10^12 pages, so the aggregated edge table is
+orders of magnitude smaller than its input and downstream consumers
+(integer_pagerank, operators/components.py:198) can bucket it by
+src_host exactly like the triple store (operators/triples.py:133).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# absolute http(s) schemes only: relative links need base-url resolution
+# (a per-row string op a caller can add); other schemes (mailto:,
+# javascript:) are not edges
+_ABS_HTTP_RE = "^[Hh][Tt][Tt][Pp][Ss]?://"
+
+
+def _host(col: str) -> Column:
+    """Lowercased host of an absolute URL, default-port and leading-www
+    stripped — the same normalization canonical_urls applies
+    (operators/curation.py:181), inlined so the edge build stays a
+    single narrow projection."""
+    hostport = (
+        f"lower(regexp_extract({col},"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    )
+    return F.expr(
+        f"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''),"
+        " '^www\\\\.', '')"
+    )
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", src_col: str = "url"
+) -> DataFrame:
+    """(src_url, href) — every absolute http(s) href in the page's HTML.
+
+    ``html_col`` may be BINARY (the input-table shape: raw WARC bytes)
+    or STRING; a binary column is decoded as UTF-8 via cast. The
+    attribute scan is a single regexp_extract_all — no parser, no UDF,
+    so it stays inside whole-stage codegen; malformed HTML yields
+    whatever hrefs its well-formed fragments contain (crawl reality).
+    """
+    return (
+        df.select(
+            F.col(src_col).alias("src_url"),
+            F.explode(
+                F.expr(
+                    f'regexp_extract_all(CAST({html_col} AS STRING),'
+                    ' \'href="([^"]+)"\', 1)'
+                )
+            ).alias("href"),
+        )
+        .where(F.col("href").rlike(_ABS_HTTP_RE))
+    )
+
+
+def host_link_graph(
+    links: DataFrame, src_col: str = "src_url", href_col: str = "href"
+) -> DataFrame:
+    """(src_host, dst_host, n_links) weighted host-level edges from
+    page-level links. One combinable groupBy; self-loops (intra-host
+    navigation) are kept — consumers that want the inter-host graph
+    filter ``src_host != dst_host``, which pipelines into this agg."""
+    return (
+        links.select(
+            _host(src_col).alias("src_host"),
+            _host(href_col).alias("dst_host"),
+        )
+        .where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )

@@ -1608,6 +1608,181 @@ def q_training_shards(spark, sf_dir):
     )
 
 
+def q_latest_crawl(spark, sf_dir):
+    """Recrawl collapse: three crawl snapshots of each page (doc_id div
+    3 = the page; the three variants differ only in case, default port,
+    leading www, and tracking params) canonicalize to ONE url, and
+    latest_snapshot_per_url keeps the newest warc_ts, ties by min
+    doc_id. Exercises the canonical_urls -> snapshot-selection chain a
+    Common-Crawl corpus runs before any dedup; the oracle constructs
+    the known canonical form directly (canonicalization itself is gated
+    by the canonical_urls query) and mirrors the keep rule as a window.
+    Timestamps are a deterministic MINSTD scramble mod 1009, so ~1/1009
+    of snapshot pairs genuinely tie and the id tie-break is exercised.
+    Scale shape: ONE combinable max-over-struct groupBy(url) — a hot
+    clone-farm URL collapses map-side (operator docstring,
+    operators/curation.py:latest_snapshot_per_url)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        canonical_urls,
+        latest_snapshot_per_url,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gid = F.expr("CAST(doc_id div 3 AS STRING)")
+    # host derives from the PAGE id (doc_id div 3), not the per-doc
+    # source column, so the three snapshots of a page genuinely share a
+    # canonical url and the collapse is non-trivial (~n/3 output rows)
+    site = F.expr("CAST((doc_id div 3) % 7 AS STRING)")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), site,
+                F.lit(".Example.COM/p/"), gid,
+                F.lit("?utm_source=crawl"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://site"), site,
+                F.lit(".example.com:443/p/"), gid,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"), site,
+                F.lit(".example.com/p/"), gid, F.lit("?fbclid=zz"),
+            )
+        )
+    )
+    snaps = canonical_urls(
+        d.select(
+            "doc_id",
+            "lang",
+            url.alias("url"),
+            (
+                F.lit(1700000000)
+                + F.pmod(F.col("doc_id") * 48271, F.lit(1009))
+            ).cast("long").alias("warc_ts_s"),
+        )
+    )
+    return latest_snapshot_per_url(
+        snaps.select("canonical_url", "warc_ts_s", "doc_id", "lang"),
+        url_col="canonical_url",
+        ts_col="warc_ts_s",
+        id_col="doc_id",
+        payload_cols=("lang",),
+    )
+
+
+def q_neardup_keep_best(spark, sf_dir):
+    """Retention-policy dedup: the neardup_components sketch chain
+    (xxhash64 MinHash -> 16x1 LSH -> integer-exact Jaccard verify ->
+    large-star/small-star CC) feeds keep_best_per_cluster — each
+    near-dup cluster keeps its HIGHEST-token-count member (ties min
+    doc_id), the RefinedWeb-style 'survivor is the best copy' policy
+    rather than exact_dedup's first-seen keep. Oracle: the same
+    recursive-CTE min-label components joined to token counts with the
+    keep rule as a window. Scale shape: everything banded/blocked as in
+    neardup_components plus one combinable max-over-struct agg
+    (operators/components.py:keep_best_per_cluster)."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        connected_components,
+        keep_best_per_cluster,
+    )
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        lsh_candidate_pairs as lsh_pairs_op,
+        minhash_signatures as minhash_op,
+        token_shingles,
+        verify_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = token_shingles(docs, "text", "doc_id", n=3).persist()
+    sigs = minhash_op(sh, "doc_id", k=16)
+    pairs = lsh_pairs_op(sigs, "doc_id", rows_per_band=1, max_bucket=None)
+    verified = verify_jaccard(pairs, sh, "doc_id", 8, 10)
+    labels = connected_components(verified, "id_a", "id_b")
+    scores = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    return keep_best_per_cluster(
+        labels, scores, id_col="id", comp_col="component",
+        score_col="n_tokens",
+    )
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Incremental-crawl snapshot diff: two crawl cycles synthesized
+    from the documents table (cycle boundaries and the changed-content
+    marker are deterministic doc_id residues, mirrored verbatim in the
+    oracle), diffed by md5 content hash into
+    added/removed/changed/unchanged. doc_id % 5 == 4 pages exist only
+    in the old crawl (removed), % 5 == 0 only in the new (added),
+    % 3 == 0 survivors get ' v2' appended (changed). Exercises every
+    status branch at every sf. Scale shape: one full-outer equi-join on
+    the unique page key (operators/curation.py:crawl_delta)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        crawl_delta,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.where(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("page_id"),
+        F.md5("text").alias("content_hash"),
+    )
+    new = d.where(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("page_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("content_hash"),
+    )
+    return crawl_delta(old, new, "page_id", "content_hash")
+
+
+def q_host_link_graph(spark, sf_dir):
+    """Web link-graph construction: deterministic HTML synthesized per
+    document (two absolute links with case/port/www noise, plus a
+    relative link on doc_id % 3 == 0 that extraction must DROP), then
+    href extraction (regexp, zero shuffle) and host-level edge
+    aggregation — the link-structure half of web-scale KG construction
+    (operators/webgraph.py). The oracle mirrors the synthesis and the
+    extraction with DuckDB's regexp_extract_all + the same host
+    normalization."""
+    from knowledgegraphgenerator_spark.operators.webgraph import (
+        extract_links,
+        host_link_graph,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = lambda e: F.expr(f"CAST({e} AS STRING)")  # noqa: E731
+    html = F.concat(
+        F.lit('<html><body><p>page</p><a href="https://site'),
+        s("(doc_id * 31) % 7"),
+        F.lit(".example.com/p/"),
+        s("(doc_id * 31) % 211"),
+        F.lit('">a</a><a href="HTTP://WWW.Site'),
+        s("(doc_id + 1) % 7"),
+        F.lit('.Example.COM:80/q">b</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit('<a href="/rel/x">c</a>')
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://site"), s("doc_id % 7"),
+        F.lit(".example.com/p/"), s("doc_id"),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return host_link_graph(extract_links(pages, "html", "url"))
+
+
 # Registry ORDER is deliberate: the driver gate reports exactly the
 # FIRST 50 registry entries, so the first 50 slots carry every query
 # that is new or changed this round, and the tail ROTATES (VERDICT r4
@@ -1622,7 +1797,10 @@ def q_training_shards(spark, sf_dir):
 # pii_scrub, repetition_signals, domain_cap) move to the tail to make
 # room for the four NEW round-5 queries (kg_pagerank_served,
 # benchmark_overlap, domain_mixture_rebalance, training_shards), which
-# take first-50 slots.
+# take first-50 slots. Late-round-5 additions: latest_crawl,
+# neardup_keep_best, crawl_delta, and host_link_graph are NEW and take
+# first-50 slots; jaccard_pairs, embedding_topk, minhash_signatures,
+# and sessionize (green driver rows r02-r04) rotate to the tail.
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1633,11 +1811,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "path_edges": q_path_edges,
     "path_prefix_antijoin": q_path_prefix_antijoin,
     "dedup_exact": q_dedup_exact,
-    "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
-    "jaccard_pairs": q_jaccard_pairs,
-    "embedding_topk": q_embedding_topk,
+    "crawl_delta": q_crawl_delta,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "latest_crawl": q_latest_crawl,
+    "neardup_keep_best": q_neardup_keep_best,
     "benchmark_overlap": q_benchmark_overlap,
     "domain_mixture_rebalance": q_domain_mixture_rebalance,
     "training_shards": q_training_shards,
@@ -1650,7 +1828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_cooccurrence": q_term_cooccurrence,
     "salted_term_stats": q_salted_term_stats,
     "last_signup_propagation": q_last_signup_propagation,
-    "sessionize": q_sessionize,
+    "host_link_graph": q_host_link_graph,
     "hourly_event_counts": q_hourly_event_counts,
     "parts_rollup": q_parts_rollup,
     "pricing_summary": q_pricing_summary,
@@ -1692,6 +1870,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "jaccard_pairs": q_jaccard_pairs,
+    "embedding_topk": q_embedding_topk,
+    "minhash_signatures": q_minhash_signatures,
+    "sessionize": q_sessionize,
 }
 
 # Bench-only callables (timed by bench.py, not driver-gated): the raw
@@ -2286,6 +2468,115 @@ ORACLES["neardup_components"] = (
     "SELECT src, src FROM edges "
     "UNION SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id) "
     "SELECT id, min(comp) AS component FROM reach GROUP BY id"
+)
+
+# Retention-policy dedup: the same recursive-CTE component labels joined
+# to whitespace token counts; the keep rule (max n_tokens, ties min id)
+# as a window — Spark's combinable max-over-struct must agree exactly.
+ORACLES["neardup_keep_best"] = (
+    f"WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+    "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh"
+    " GROUP BY doc_id), "
+    "ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " CAST(count(*) AS BIGINT) AS inter "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id), "
+    "pairs AS MATERIALIZED ("
+    "SELECT id_a, id_b FROM ix "
+    "JOIN sizes na ON ix.id_a = na.doc_id "
+    "JOIN sizes nb ON ix.id_b = nb.doc_id "
+    "WHERE inter * 10 >= (na.n + nb.n - inter) * 8), "
+    "edges AS MATERIALIZED ("
+    "SELECT id_a AS src, id_b AS dst FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(id, comp) AS ("
+    "SELECT src, src FROM edges "
+    "UNION SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id), "
+    "labels AS (SELECT id, min(comp) AS component FROM reach GROUP BY id), "
+    "nt AS (SELECT doc_id AS id,"
+    " CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    " AS BIGINT) AS n_tokens FROM documents), "
+    "m AS (SELECT l.component, l.id, nt.n_tokens"
+    " FROM labels l JOIN nt USING (id)) "
+    "SELECT CAST(component AS BIGINT) AS component,"
+    " CAST(id AS BIGINT) AS kept_id,"
+    " CAST(n_tokens AS BIGINT) AS best_score,"
+    " CAST(n_members AS BIGINT) AS n_members FROM ("
+    "SELECT component, id, n_tokens,"
+    " row_number() OVER (PARTITION BY component"
+    " ORDER BY n_tokens DESC, id ASC) AS rn,"
+    " count(*) OVER (PARTITION BY component) AS n_members FROM m"
+    ") WHERE rn = 1"
+)
+
+# Recrawl collapse: the oracle constructs the known canonical form of
+# the three synthesized snapshot variants directly (canonicalization is
+# separately gated by canonical_urls) and mirrors newest-ts-min-id as a
+# window over the same MINSTD-scrambled timestamps.
+ORACLES["latest_crawl"] = (
+    "WITH t AS (SELECT doc_id, lang,"
+    " 'https://site' || CAST((doc_id // 3) % 7 AS VARCHAR) ||"
+    " '.example.com/p/' ||"
+    " CAST(doc_id // 3 AS VARCHAR) AS canonical_url,"
+    " 1700000000 + (doc_id * 48271) % 1009 AS warc_ts_s"
+    " FROM documents) "
+    "SELECT canonical_url, CAST(warc_ts_s AS BIGINT) AS warc_ts_s,"
+    " CAST(doc_id AS BIGINT) AS doc_id, lang,"
+    " CAST(n_snapshots AS BIGINT) AS n_snapshots FROM ("
+    "SELECT *,"
+    " row_number() OVER (PARTITION BY canonical_url"
+    " ORDER BY warc_ts_s DESC, doc_id ASC) AS rn,"
+    " count(*) OVER (PARTITION BY canonical_url) AS n_snapshots FROM t"
+    ") WHERE rn = 1"
+)
+
+# Incremental-crawl snapshot diff: same residue-defined cycles and
+# changed-content marker, same md5, FULL OUTER JOIN + CASE.
+ORACLES["crawl_delta"] = (
+    "WITH o AS (SELECT doc_id AS page_id, md5(text) AS old_hash"
+    " FROM documents WHERE doc_id % 5 <> 0), "
+    "n AS (SELECT doc_id AS page_id,"
+    " md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)"
+    " AS new_hash FROM documents WHERE doc_id % 5 <> 4) "
+    "SELECT coalesce(o.page_id, n.page_id) AS page_id,"
+    " CASE WHEN o.page_id IS NULL THEN 'added'"
+    " WHEN n.page_id IS NULL THEN 'removed'"
+    " WHEN o.old_hash <> n.new_hash THEN 'changed'"
+    " ELSE 'unchanged' END AS status,"
+    " o.old_hash, n.new_hash"
+    " FROM o FULL OUTER JOIN n ON o.page_id = n.page_id"
+)
+
+# Web link graph: same deterministic HTML synthesis, DuckDB
+# regexp_extract_all + unnest for the href scan, same absolute-scheme
+# filter and host normalization (lowercase, strip default port and
+# leading www).
+ORACLES["host_link_graph"] = (
+    "WITH h AS (SELECT doc_id,"
+    " '<html><body><p>page</p><a href=\"https://site'"
+    " || CAST((doc_id * 31) % 7 AS VARCHAR) || '.example.com/p/'"
+    " || CAST((doc_id * 31) % 211 AS VARCHAR)"
+    " || '\">a</a><a href=\"HTTP://WWW.Site'"
+    " || CAST((doc_id + 1) % 7 AS VARCHAR) || '.Example.COM:80/q\">b</a>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<a href=\"/rel/x\">c</a>'"
+    " ELSE '' END || '</body></html>' AS html,"
+    " 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'"
+    " || CAST(doc_id AS VARCHAR) AS url FROM documents), "
+    "l AS (SELECT url,"
+    " unnest(regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)) AS href"
+    " FROM h), "
+    "f AS (SELECT url, href FROM l"
+    " WHERE regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')), "
+    "e AS (SELECT"
+    " regexp_replace(regexp_replace("
+    "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),"
+    " ':[0-9]+$', ''), '^www\\.', '') AS src_host,"
+    " regexp_replace(regexp_replace("
+    "lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),"
+    " ':[0-9]+$', ''), '^www\\.', '') AS dst_host FROM f) "
+    "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links"
+    " FROM e WHERE src_host <> '' AND dst_host <> ''"
+    " GROUP BY src_host, dst_host"
 )
 
 # Type-7 interpolated quantile in both engines (Spark `percentile`,

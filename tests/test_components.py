@@ -133,3 +133,67 @@ def test_ancestor_closure_empty(spark):
     out = ancestor_closure(df)
     assert out.columns == ["descendant", "ancestor", "depth"]
     assert out.count() == 0
+
+
+def test_keep_best_per_cluster_crafted(spark):
+    """Retention policy: per cluster keep max score, ties min id."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        keep_best_per_cluster,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: id 2 has the max score; cluster 10: tie -> min id 10
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4)],
+        "id long, score long",
+    )
+    out = {
+        r["component"]: r
+        for r in keep_best_per_cluster(labels, scores).collect()
+    }
+    assert out[1]["kept_id"] == 2 and out[1]["best_score"] == 9
+    assert out[1]["n_members"] == 3
+    assert out[10]["kept_id"] == 10 and out[10]["best_score"] == 4
+    assert out[10]["n_members"] == 2
+
+
+def test_keep_best_per_cluster_window_differential(spark):
+    """Randomized differential: the combinable max-over-struct agg must
+    equal the obvious row_number-window implementation."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.components import (
+        keep_best_per_cluster,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (i, rng.randrange(12), rng.randrange(6)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, component long, score long")
+    got = sorted(
+        tuple(r)
+        for r in keep_best_per_cluster(
+            df.select("id", "component"), df.select("id", "score")
+        ).collect()
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    want = sorted(
+        (r["component"], r["id"], r["score"], r["n_members"])
+        for r in df.withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    )
+    assert got == want

@@ -601,3 +601,81 @@ def test_drop_contaminated_filter(spark):
     # higher threshold: the partial borrow survives
     kept2 = drop_contaminated(docs, bench, threshold_permille=300)
     assert {r.doc_id for r in kept2.collect()} == {2, 3, 4}
+
+
+def test_latest_snapshot_per_url_crafted(spark):
+    """Recrawl collapse: newest warc_ts wins; a timestamp tie breaks to
+    the SMALLEST doc_id; the payload column comes from the kept row;
+    singleton urls pass through with n_snapshots=1."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        latest_snapshot_per_url,
+    )
+
+    rows = [
+        # url A: 3 snapshots, max ts unique -> id 12 kept
+        ("a", 100, 10, "v1"),
+        ("a", 300, 12, "v3"),
+        ("a", 200, 11, "v2"),
+        # url B: max ts TIED between ids 21 and 20 -> min id 20 kept
+        ("b", 500, 21, "x"),
+        ("b", 500, 20, "y"),
+        ("b", 400, 22, "z"),
+        # url C: singleton
+        ("c", 7, 30, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "canonical_url string, warc_ts long, doc_id long, body string"
+    )
+    out = {
+        r["canonical_url"]: r
+        for r in latest_snapshot_per_url(
+            df, "canonical_url", "warc_ts", "doc_id", ("body",)
+        ).collect()
+    }
+    assert out["a"]["doc_id"] == 12 and out["a"]["body"] == "v3"
+    assert out["a"]["warc_ts"] == 300 and out["a"]["n_snapshots"] == 3
+    assert out["b"]["doc_id"] == 20 and out["b"]["body"] == "y"
+    assert out["c"]["doc_id"] == 30 and out["c"]["n_snapshots"] == 1
+
+
+def test_latest_snapshot_plan_one_exchange_partial_agg(spark):
+    """Scale pin: the collapse is ONE shuffle with a map-side partial
+    aggregate (hot urls collapse per-mapper), not a row_number window."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        latest_snapshot_per_url,
+    )
+
+    df = spark.range(100).selectExpr(
+        "CAST(id % 10 AS STRING) AS canonical_url",
+        "id AS warc_ts",
+        "id AS doc_id",
+    )
+    plan = _plan(latest_snapshot_per_url(df, "canonical_url", "warc_ts",
+                                         "doc_id"))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_crawl_delta_statuses(spark):
+    """Snapshot diff: every status branch on crafted keys."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        crawl_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")],
+        "page_id long, content_hash string",
+    )
+    new = spark.createDataFrame(
+        [(2, "h2"), (3, "h3-modified"), (4, "h4")],
+        "page_id long, content_hash string",
+    )
+    got = {
+        r["page_id"]: (r["status"], r["old_hash"], r["new_hash"])
+        for r in crawl_delta(old, new).collect()
+    }
+    assert got[1] == ("removed", "h1", None)
+    assert got[2] == ("unchanged", "h2", "h2")
+    assert got[3] == ("changed", "h3", "h3-modified")
+    assert got[4] == ("added", None, "h4")
