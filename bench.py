@@ -105,6 +105,7 @@ HEADLINE = [
     "neardup_keep_best",
     "crawl_delta",
     "host_link_graph",
+    "host_pagerank",
     "pricing_summary",
     "top_orders_per_cust",
     "sessionize",

@@ -1760,6 +1760,14 @@ def q_host_link_graph(spark, sf_dir):
         host_link_graph,
     )
 
+    return host_link_graph(
+        extract_links(_host_pages(spark, sf_dir), "html", "url")
+    )
+
+
+def _host_pages(spark, sf_dir):
+    """The deterministic page synthesis shared by host_link_graph and
+    host_pagerank (url + html from doc_id residues)."""
     d = _t(spark, sf_dir, "documents")
     s = lambda e: F.expr(f"CAST({e} AS STRING)")  # noqa: E731
     html = F.concat(
@@ -1779,8 +1787,32 @@ def q_host_link_graph(spark, sf_dir):
         F.lit("https://site"), s("doc_id % 7"),
         F.lit(".example.com/p/"), s("doc_id"),
     )
-    pages = d.select(url.alias("url"), html.alias("html"))
-    return host_link_graph(extract_links(pages, "html", "url"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Web-graph authority scoring: the extracted host link graph
+    (q_host_link_graph's edges, self-loops included) fed to the SAME
+    integer power iteration as kg_pagerank — construct-then-consume on
+    the WEB graph, not just the term KG. host_link_graph's groupBy
+    output is distinct per (src, dst), so ``assume_distinct=True``
+    skips the defensive dedup Exchange. Oracle: the link-graph CTE
+    chain + the unrolled integer iteration (bit-exact, no floats)."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        integer_pagerank,
+    )
+    from knowledgegraphgenerator_spark.operators.webgraph import (
+        extract_links,
+        host_link_graph,
+    )
+
+    g = host_link_graph(
+        extract_links(_host_pages(spark, sf_dir), "html", "url")
+    )
+    nt = g.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return integer_pagerank(nt, assume_distinct=True)
 
 
 # Registry ORDER is deliberate: the driver gate reports exactly the
@@ -1798,9 +1830,10 @@ def q_host_link_graph(spark, sf_dir):
 # room for the four NEW round-5 queries (kg_pagerank_served,
 # benchmark_overlap, domain_mixture_rebalance, training_shards), which
 # take first-50 slots. Late-round-5 additions: latest_crawl,
-# neardup_keep_best, crawl_delta, and host_link_graph are NEW and take
-# first-50 slots; jaccard_pairs, embedding_topk, minhash_signatures,
-# and sessionize (green driver rows r02-r04) rotate to the tail.
+# neardup_keep_best, crawl_delta, host_link_graph, and host_pagerank
+# are NEW and take first-50 slots; jaccard_pairs, embedding_topk,
+# minhash_signatures, sessionize, and path_prefix_antijoin (green
+# driver rows r02-r04) rotate to the tail.
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1809,7 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "doc_terms_ranked": q_doc_terms_ranked,
     "path_edges": q_path_edges,
-    "path_prefix_antijoin": q_path_prefix_antijoin,
+    "host_pagerank": q_host_pagerank,
     "dedup_exact": q_dedup_exact,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "crawl_delta": q_crawl_delta,
@@ -1874,6 +1907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "minhash_signatures": q_minhash_signatures,
     "sessionize": q_sessionize,
+    "path_prefix_antijoin": q_path_prefix_antijoin,
 }
 
 # Bench-only callables (timed by bench.py, not driver-gated): the raw
@@ -2550,9 +2584,9 @@ ORACLES["crawl_delta"] = (
 # Web link graph: same deterministic HTML synthesis, DuckDB
 # regexp_extract_all + unnest for the href scan, same absolute-scheme
 # filter and host normalization (lowercase, strip default port and
-# leading www).
-ORACLES["host_link_graph"] = (
-    "WITH h AS (SELECT doc_id,"
+# leading www). The CTE chain is shared with the host_pagerank oracle.
+_HOST_EDGES_CTES = (
+    "h AS (SELECT doc_id,"
     " '<html><body><p>page</p><a href=\"https://site'"
     " || CAST((doc_id * 31) % 7 AS VARCHAR) || '.example.com/p/'"
     " || CAST((doc_id * 31) % 211 AS VARCHAR)"
@@ -2573,11 +2607,55 @@ ORACLES["host_link_graph"] = (
     " ':[0-9]+$', ''), '^www\\.', '') AS src_host,"
     " regexp_replace(regexp_replace("
     "lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),"
-    " ':[0-9]+$', ''), '^www\\.', '') AS dst_host FROM f) "
+    " ':[0-9]+$', ''), '^www\\.', '') AS dst_host FROM f)"
+)
+ORACLES["host_link_graph"] = (
+    f"WITH {_HOST_EDGES_CTES} "
     "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links"
     " FROM e WHERE src_host <> '' AND dst_host <> ''"
     " GROUP BY src_host, dst_host"
 )
+
+
+def _host_pagerank_oracle_sql(iters: int = 3) -> str:
+    """Integer PageRank over the host link graph: the link-graph CTE
+    chain feeding the same unrolled fixed-k iteration as
+    kg_pagerank_oracle_sql (oracles_kg.py:564) — integer micro-units,
+    nonnegative `//` only, bit-exact vs integer_pagerank."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"c{k} AS ("
+            f" SELECT dst AS entity, sum(pr // outdeg) AS contrib"
+            f" FROM nt JOIN {prev} ON nt.src = {prev}.entity"
+            f" JOIN outdeg USING (src) GROUP BY dst), "
+            f"pr{k} AS MATERIALIZED ("
+            f" SELECT nodes.entity,"
+            f" 150000 // (SELECT n FROM nn)"
+            f" + (85 * coalesce(contrib, 0)) // 100 AS pr"
+            f" FROM nodes LEFT JOIN c{k} USING (entity))"
+        )
+        prev = f"pr{k}"
+    chain = ", ".join(steps)
+    return (
+        f"WITH {_HOST_EDGES_CTES}, "
+        "nt AS MATERIALIZED ("
+        " SELECT DISTINCT src_host AS src, dst_host AS dst FROM e"
+        " WHERE src_host <> '' AND dst_host <> ''), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT entity FROM ("
+        " SELECT src AS entity FROM nt UNION ALL SELECT dst FROM nt)), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), "
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM nt GROUP BY src), "
+        "pr0 AS (SELECT entity, 1000000 // (SELECT n FROM nn) AS pr"
+        " FROM nodes), "
+        f"{chain} "
+        f"SELECT entity, CAST(pr AS BIGINT) AS pr FROM {prev}"
+    )
+
+
+ORACLES["host_pagerank"] = _host_pagerank_oracle_sql()
 
 # Type-7 interpolated quantile in both engines (Spark `percentile`,
 # DuckDB `quantile_cont`); one round(4) on each side absorbs float
