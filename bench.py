@@ -320,7 +320,12 @@ def main() -> None:
                 "deterministic synthetic_web_pages(seed fixed) corpus, "
                 "same session/cpus as the suite; dedup chain = exact "
                 "(full corpus) then near-dedup k=32/rows_per_band=4 "
-                "over the exact survivors (~94% exact-clone corpus)"
+                "over the exact survivors (~94% exact-clone corpus); "
+                "decon drop-rate is corpus-specific (exact clones of "
+                "the 1/1009 carve-out share ALL 8-grams, so the "
+                "clone-saturated corpus drops almost everything) — the "
+                "metric is the filter's throughput shape: broadcast "
+                "membership probe + anti-join, corpus never shuffled"
             ),
         }
 

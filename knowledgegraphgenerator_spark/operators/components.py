@@ -121,7 +121,10 @@ def keep_best_per_cluster(
     ``exact_dedup``'s min-id keep, synonym_generator.py:33-39).
 
     Output: (component, kept_id, best_score, n_members), one row per
-    cluster.
+    cluster. ``n_members`` counts ALL labeled members (a LEFT join to
+    scores — an unscored member still belongs to its cluster); the
+    argmax runs over SCORED members only, so ``kept_id``/``best_score``
+    are NULL for a cluster none of whose members has a score.
 
     Scale shape: one equi-join of labels to scores on the id (both
     sides are id-keyed; co-partitions under AQE) and ONE combinable
@@ -130,9 +133,12 @@ def keep_best_per_cluster(
     per mapper before the shuffle, where a row_number window would
     serialize it onto a single task. ``id_col`` must be non-negative
     (the tie-break negates it)."""
-    m = labels.join(scores, id_col)
-    w = F.struct(
-        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+    m = labels.join(scores, id_col, "left")
+    w = F.when(
+        F.col(score_col).isNotNull(),
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+        ),
     )
     return (
         m.groupBy(comp_col)

@@ -180,9 +180,12 @@ _SLD_SET = "('co','com','net','org','gov','ac','edu')"
 
 def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds host, registered_domain, and canonical_url: lowercase
-    scheme/host, default-port and leading-www strip, tracking params
-    removed, remaining query params sorted (order-insensitive dedup
-    key). Narrow projection — zero shuffles, pipelines into the scan."""
+    scheme/host, default-port (:80 http / :443 https only — an explicit
+    non-default port is a distinct origin and MUST survive, or two
+    different servers' pages collapse into one dedup key) and
+    leading-www strip, tracking params removed, remaining query params
+    sorted (order-insensitive dedup key). Narrow projection — zero
+    shuffles, pipelines into the scan."""
     u = url_col
     parts = {
         "scheme": f"lower(regexp_extract({u},"
@@ -194,7 +197,12 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         "rawq": f"regexp_extract({u}, '\\\\?([^#]*)', 1)",
     }
     host = (
-        "regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),"
+        "regexp_replace("
+        "CASE WHEN scheme = 'http'"
+        " THEN regexp_replace(hostport, ':80$', '')"
+        " WHEN scheme = 'https'"
+        " THEN regexp_replace(hostport, ':443$', '')"
+        " ELSE hostport END,"
         " '^www\\\\.', '')"
     )
     clean_q = (
@@ -702,23 +710,34 @@ def crawl_delta(
     key (run latest_snapshot_per_url first on raw crawl logs).
 
     Output: (key, status, old_hash, new_hash); old_hash/new_hash are
-    NULL on the missing side.
+    NULL on the missing side. Presence is tracked by explicit side
+    markers, NOT hash nullness — a row with a NULL content hash (failed
+    fetch, NULL text) still counts as present, and a NULL-vs-value hash
+    pair is 'changed' (null-safe comparison), matching the oracle's
+    key-based presence + IS DISTINCT FROM.
 
     Scale shape: ONE equi-shuffle full-outer join on the page key. Both
     crawl snapshots stored bucketed by the key (the triple-store layout,
     operators/triples.py:133) make it exchange-free; the key is unique
     per side, so there is no skew to salt."""
     o = old.select(
-        F.col(key_col).alias("k"), F.col(hash_col).alias("old_hash")
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("old_hash"),
+        F.lit(True).alias("in_old"),
     )
     n = new.select(
-        F.col(key_col).alias("k"), F.col(hash_col).alias("new_hash")
+        F.col(key_col).alias("k"),
+        F.col(hash_col).alias("new_hash"),
+        F.lit(True).alias("in_new"),
     )
     return o.join(n, "k", "full_outer").select(
         F.col("k").alias(key_col),
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged")).alias("status"),
         "old_hash",
         "new_hash",

@@ -28,16 +28,27 @@ _ABS_HTTP_RE = "^[Hh][Tt][Tt][Pp][Ss]?://"
 
 
 def _host(col: str) -> Column:
-    """Lowercased host of an absolute URL, default-port and leading-www
-    stripped — the same normalization canonical_urls applies
+    """Lowercased host of an absolute URL, DEFAULT port (:80 for http,
+    :443 for https — RFC 3986 normalization; an explicit non-default
+    port is a distinct origin and stays) and leading-www stripped — the
+    same normalization canonical_urls applies
     (operators/curation.py:181), inlined so the edge build stays a
     single narrow projection."""
+    scheme = (
+        f"lower(regexp_extract({col},"
+        " '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    )
     hostport = (
         f"lower(regexp_extract({col},"
         " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
     )
     return F.expr(
-        f"regexp_replace(regexp_replace({hostport}, ':[0-9]+$', ''),"
+        "regexp_replace("
+        f"CASE WHEN {scheme} = 'http'"
+        f" THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https'"
+        f" THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END,"
         " '^www\\\\.', '')"
     )
 
@@ -49,19 +60,21 @@ def extract_links(
 
     ``html_col`` may be BINARY (the input-table shape: raw WARC bytes)
     or STRING; a binary column is decoded as UTF-8 via cast. The
-    attribute scan is a single regexp_extract_all — no parser, no UDF,
-    so it stays inside whole-stage codegen; malformed HTML yields
-    whatever hrefs its well-formed fragments contain (crawl reality).
+    attribute scan is two regexp_extract_all passes (double- and
+    single-quoted attribute values — both are valid HTML and both are
+    common in crawl data) concatenated — no parser, no UDF, so it
+    stays inside whole-stage codegen; malformed HTML yields whatever
+    hrefs its well-formed fragments contain (crawl reality).
     """
+    h = F.col(html_col).cast("string")
+    hrefs = F.concat(
+        F.regexp_extract_all(h, F.lit(r'href="([^"]+)"'), F.lit(1)),
+        F.regexp_extract_all(h, F.lit(r"href='([^']+)'"), F.lit(1)),
+    )
     return (
         df.select(
             F.col(src_col).alias("src_url"),
-            F.explode(
-                F.expr(
-                    f'regexp_extract_all(CAST({html_col} AS STRING),'
-                    ' \'href="([^"]+)"\', 1)'
-                )
-            ).alias("href"),
+            F.explode(hrefs).alias("href"),
         )
         .where(F.col("href").rlike(_ABS_HTTP_RE))
     )

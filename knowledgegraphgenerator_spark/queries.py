@@ -1663,7 +1663,11 @@ def q_latest_crawl(spark, sf_dir):
             url.alias("url"),
             (
                 F.lit(1700000000)
-                + F.pmod(F.col("doc_id") * 48271, F.lit(1009))
+                + F.pmod(
+                    F.pmod(F.col("doc_id"), F.lit(1_000_000_007))
+                    * F.lit(48271),
+                    F.lit(1009),
+                )
             ).cast("long").alias("warc_ts_s"),
         )
     )
@@ -1748,8 +1752,9 @@ def q_crawl_delta(spark, sf_dir):
 
 def q_host_link_graph(spark, sf_dir):
     """Web link-graph construction: deterministic HTML synthesized per
-    document (two absolute links with case/port/www noise, plus a
-    relative link on doc_id % 3 == 0 that extraction must DROP), then
+    document (double- AND single-quoted absolute links with
+    case/default-port/www noise, plus a relative link on
+    doc_id % 3 == 0 that extraction must DROP), then
     href extraction (regexp, zero shuffle) and host-level edge
     aggregation — the link-structure half of web-scale KG construction
     (operators/webgraph.py). The oracle mirrors the synthesis and the
@@ -1780,6 +1785,14 @@ def _host_pages(spark, sf_dir):
         F.lit('.Example.COM:80/q">b</a>'),
         F.when(
             F.col("doc_id") % 3 == 0, F.lit('<a href="/rel/x">c</a>')
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<a href='https://site"),
+                s("(doc_id * 17) % 7"),
+                F.lit(".example.com/s'>d</a>"),
+            ),
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
@@ -2199,7 +2212,10 @@ ORACLES: dict[str, str] = {
         " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,"
         " regexp_extract(url, '\\?([^#]*)', 1) AS rawq FROM urls), "
         "hosts AS (SELECT doc_id, scheme, rawpath, rawq,"
-        " regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),"
+        " regexp_replace(CASE"
+        " WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')"
+        " WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')"
+        " ELSE hostport END,"
         " '^www\\.', '') AS host FROM parts), "
         "comp AS (SELECT doc_id, scheme, rawpath, host,"
         " string_split(host, '.') AS labs,"
@@ -2552,7 +2568,8 @@ ORACLES["latest_crawl"] = (
     " 'https://site' || CAST((doc_id // 3) % 7 AS VARCHAR) ||"
     " '.example.com/p/' ||"
     " CAST(doc_id // 3 AS VARCHAR) AS canonical_url,"
-    " 1700000000 + (doc_id * 48271) % 1009 AS warc_ts_s"
+    " 1700000000 + ((((doc_id % 1000000007) + 1000000007) % 1000000007)"
+    " * 48271) % 1009 AS warc_ts_s"
     " FROM documents) "
     "SELECT canonical_url, CAST(warc_ts_s AS BIGINT) AS warc_ts_s,"
     " CAST(doc_id AS BIGINT) AS doc_id, lang,"
@@ -2575,7 +2592,7 @@ ORACLES["crawl_delta"] = (
     "SELECT coalesce(o.page_id, n.page_id) AS page_id,"
     " CASE WHEN o.page_id IS NULL THEN 'added'"
     " WHEN n.page_id IS NULL THEN 'removed'"
-    " WHEN o.old_hash <> n.new_hash THEN 'changed'"
+    " WHEN o.old_hash IS DISTINCT FROM n.new_hash THEN 'changed'"
     " ELSE 'unchanged' END AS status,"
     " o.old_hash, n.new_hash"
     " FROM o FULL OUTER JOIN n ON o.page_id = n.page_id"
@@ -2593,21 +2610,37 @@ _HOST_EDGES_CTES = (
     " || '\">a</a><a href=\"HTTP://WWW.Site'"
     " || CAST((doc_id + 1) % 7 AS VARCHAR) || '.Example.COM:80/q\">b</a>'"
     " || CASE WHEN doc_id % 3 = 0 THEN '<a href=\"/rel/x\">c</a>'"
-    " ELSE '' END || '</body></html>' AS html,"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '<a href=''https://site'"
+    " || CAST((doc_id * 17) % 7 AS VARCHAR)"
+    " || '.example.com/s''>d</a>' ELSE '' END"
+    " || '</body></html>' AS html,"
     " 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'"
     " || CAST(doc_id AS VARCHAR) AS url FROM documents), "
-    "l AS (SELECT url,"
-    " unnest(regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)) AS href"
+    "l AS (SELECT url, unnest(list_concat("
+    " regexp_extract_all(html, 'href=\"([^\"]+)\"', 1),"
+    " regexp_extract_all(html, 'href=''([^'']+)''', 1))) AS href"
     " FROM h), "
     "f AS (SELECT url, href FROM l"
     " WHERE regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')), "
+    "sp AS (SELECT"
+    " lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    " AS s1,"
+    " lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    " AS h1,"
+    " lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    " AS s2,"
+    " lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    " AS h2 FROM f), "
     "e AS (SELECT"
-    " regexp_replace(regexp_replace("
-    "lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),"
-    " ':[0-9]+$', ''), '^www\\.', '') AS src_host,"
-    " regexp_replace(regexp_replace("
-    "lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),"
-    " ':[0-9]+$', ''), '^www\\.', '') AS dst_host FROM f)"
+    " regexp_replace(CASE"
+    " WHEN s1 = 'http' THEN regexp_replace(h1, ':80$', '')"
+    " WHEN s1 = 'https' THEN regexp_replace(h1, ':443$', '')"
+    " ELSE h1 END, '^www\\.', '') AS src_host,"
+    " regexp_replace(CASE"
+    " WHEN s2 = 'http' THEN regexp_replace(h2, ':80$', '')"
+    " WHEN s2 = 'https' THEN regexp_replace(h2, ':443$', '')"
+    " ELSE h2 END, '^www\\.', '') AS dst_host FROM sp)"
 )
 ORACLES["host_link_graph"] = (
     f"WITH {_HOST_EDGES_CTES} "

@@ -197,3 +197,23 @@ def test_keep_best_per_cluster_window_differential(spark):
         .collect()
     )
     assert got == want
+
+
+def test_keep_best_per_cluster_unscored_members(spark):
+    """Unscored members still count in n_members (left join); a fully
+    unscored cluster keeps its row with NULL kept_id/best_score."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        keep_best_per_cluster,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)], "id long, component long"
+    )
+    scores = spark.createDataFrame([(2, 5)], "id long, score long")
+    out = {
+        r["component"]: r
+        for r in keep_best_per_cluster(labels, scores).collect()
+    }
+    assert out[1]["n_members"] == 2 and out[1]["kept_id"] == 2
+    assert out[10]["n_members"] == 2
+    assert out[10]["kept_id"] is None and out[10]["best_score"] is None

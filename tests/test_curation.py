@@ -194,9 +194,17 @@ def test_canonical_urls_branches(spark):
         (3, "https://bare.org"),
         (4, "https://a.b.c.example.net/p?z=1&y=2"),
         (5, "https://localhost/x"),
+        (6, "https://x.example.org:8443/p"),
+        (7, "http://y.example.org:443/p"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {r.doc_id: r for r in canonical_urls(df).collect()}
+
+    # only DEFAULT ports strip (scheme-matched): an explicit
+    # non-default port is a distinct origin and survives; :443 on
+    # plain http is NOT that scheme's default, so it survives too
+    assert out[6].host == "x.example.org:8443"
+    assert out[7].host == "y.example.org:443"
 
     # case-fold, www/port strip, tracking removal, param sort
     assert out[1].host == "foo.example.com"
@@ -679,3 +687,24 @@ def test_crawl_delta_statuses(spark):
     assert got[2] == ("unchanged", "h2", "h2")
     assert got[3] == ("changed", "h3", "h3-modified")
     assert got[4] == ("added", None, "h4")
+
+
+def test_crawl_delta_null_hashes(spark):
+    """Presence is key-based, not hash-based: a NULL content hash still
+    counts as present, and NULL-vs-value is 'changed' (null-safe)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        crawl_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "h3")],
+        "page_id long, content_hash string",
+    )
+    new = spark.createDataFrame(
+        [(1, "h1"), (2, None), (3, None)],
+        "page_id long, content_hash string",
+    )
+    got = {
+        r["page_id"]: r["status"] for r in crawl_delta(old, new).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}

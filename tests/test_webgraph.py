@@ -68,3 +68,35 @@ def test_webgraph_plan_shapes(spark):
     full = _plan(host_link_graph(links))
     assert full.count("Exchange") == 1
     assert "partial_count" in full or "partial" in full.lower()
+
+
+def test_extract_links_single_quoted(spark):
+    """Single-quoted href attributes are valid HTML and must extract."""
+    df = spark.createDataFrame(
+        [("u", "<a href='https://sq.com/x'>1</a>"
+          '<a href="https://dq.com/y">2</a>')],
+        "url string, html string",
+    )
+    got = sorted(
+        r["href"] for r in extract_links(df, "html", "url").collect()
+    )
+    assert got == ["https://dq.com/y", "https://sq.com/x"]
+
+
+def test_host_keeps_non_default_port(spark):
+    """Only DEFAULT ports strip (:80 http / :443 https); an explicit
+    non-default port is a distinct origin and must survive."""
+    rows = [
+        ("https://a.com:8443/x", "http://b.com:8080/y"),
+        ("https://a.com:443/x", "http://b.com:80/y"),
+        ("http://c.com:443/x", "https://d.com:80/y"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, href string")
+    got = set(
+        (r["src_host"], r["dst_host"]) for r in host_link_graph(df).collect()
+    )
+    assert got == {
+        ("a.com:8443", "b.com:8080"),
+        ("a.com", "b.com"),
+        ("c.com:443", "d.com:80"),
+    }
