@@ -106,6 +106,13 @@ HEADLINE = [
     "crawl_delta",
     "host_link_graph",
     "host_pagerank",
+    # round 5 (final): BM25 retrieval over the token stream, integer
+    # HITS on the host graph, per-host anchor-text surface forms, and
+    # the BPE merge-pair statistic (dictionary-sized agg + top-k)
+    "bm25_topk",
+    "host_hits",
+    "anchor_text_profile",
+    "bpe_merge_pairs",
     "pricing_summary",
     "top_orders_per_cust",
     "sessionize",

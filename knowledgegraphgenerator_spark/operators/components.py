@@ -322,3 +322,109 @@ def integer_pagerank(
             .localCheckpoint()
         )
     return pr
+
+
+def integer_hits(
+    edges: DataFrame,
+    n_iters: int = 2,
+    total_mass: int = 1_000_000,
+    assume_distinct: bool = False,
+    persist: bool = True,
+) -> DataFrame:
+    """Fixed-k integer HITS (Kleinberg hubs & authorities) over a
+    (src, dst) edge set — the second classic web-graph authority score
+    next to integer_pagerank, for crawl prioritization / host quality.
+
+    Variant pinned for cross-engine bit-exactness (mirrored by the
+    unrolled-CTE DuckDB oracle in queries.py):
+      * authorities seed uniform at ``total_mass // n``;
+      * each iteration recomputes hubs from authorities over OUT-edges,
+        L1-normalizes to integer micro-units (``raw * total_mass //
+        sum(raw)``, nonnegative ``div`` only), then authorities from
+        the normalized hubs over IN-edges, normalized the same way —
+        so every value both engines ever hold is a nonnegative int64.
+    Overflow bound: normalized scores sum to <= total_mass, so a raw
+    sum is < total_mass^2 = 10^12 and the normalization product is
+    < total_mass^2 * total_mass = 10^18 < 2^63 ONLY when the per-node
+    raw score stays under ~9.2e12; with mass 10^6 that holds for any
+    graph (raw[v] <= sum of a normalized vector <= 10^6, times 10^6 =
+    10^12). ANSI mode would throw loudly on violation, not corrupt.
+
+    Scale shape = integer_pagerank's: per iteration, one equi-join per
+    direction + one combinable aggregation; iterates are
+    ``localCheckpoint``-ed to keep lineage flat; ``assume_distinct`` /
+    ``persist=False`` is the bucketed-table serve configuration
+    (operators/triples.py:133).
+    """
+    spark = edges.sparkSession
+    nt = edges.select("src", "dst")
+    if not assume_distinct:
+        nt = nt.distinct()
+    if persist:
+        nt = nt.persist()
+    nodes = (
+        nt.select(F.col("src").alias("entity"))
+        .union(nt.select(F.col("dst").alias("entity")))
+        .distinct()
+    )
+    if persist:
+        nodes = nodes.persist()
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "entity string, hub long, auth long"
+        )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        """nodes-complete integer L1 normalization of (entity, raw).
+
+        The filled vector is localCheckpoint-ed BEFORE fan-out so the
+        edge join + aggregation underneath runs exactly once per
+        half-step (the total-sum branch and the output branch both
+        read the checkpoint, which also keeps lineage flat across
+        iterations); the L1 total rides a broadcast crossJoin — no
+        driver collect."""
+        filled = (
+            nodes.join(raw, "entity", "left")
+            .select(
+                "entity",
+                F.coalesce(F.col("raw"), F.lit(0))
+                .cast("long")
+                .alias("raw"),
+            )
+            .localCheckpoint()
+        )
+        total = filled.agg(F.sum("raw").alias("t"))
+        return filled.crossJoin(F.broadcast(total)).select(
+            "entity",
+            F.expr(
+                f"CASE WHEN t = 0 THEN 0L"
+                f" ELSE raw * {total_mass}L div t END"
+            ).cast("long").alias(col),
+        )
+
+    # seeds: both vectors uniform, so n_iters=0 returns the seed state
+    # (the integer_pagerank degenerate-parameter contract)
+    auth = nodes.withColumn(
+        "auth", F.lit(total_mass // n).cast("long")
+    )
+    hub = nodes.withColumn(
+        "hub", F.lit(total_mass // n).cast("long")
+    )
+    for _ in range(n_iters):
+        h_raw = (
+            nt.join(auth, nt["dst"] == auth["entity"])
+            .groupBy(nt["src"].alias("entity"))
+            .agg(F.sum("auth").alias("raw"))
+        )
+        hub = _normalize(h_raw, "hub")
+        a_raw = (
+            nt.join(hub, nt["src"] == hub["entity"])
+            .groupBy(nt["dst"].alias("entity"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        auth = _normalize(a_raw, "auth")
+    return (
+        hub.join(auth, "entity")
+        .select("entity", "hub", "auth")
+    )

@@ -1,0 +1,185 @@
+"""Inverted-index construction and BM25 top-k retrieval over the
+document corpus — the serving-side complement of the KG build.
+
+The reference ranks ontology terms by corpus frequency and associates
+documents to term paths (/root/reference/strategy/phrase_finder.py:29-45,
+strategy/NGramStrategy.py:56-108); a web-scale corpus additionally needs
+the classic IR consumption path over the same token stream: term
+postings with per-document frequencies, document-length statistics, and
+a BM25-scored top-k query. Okapi BM25 is the public Robertson/Spärck
+Jones formulation (k1/b defaults 1.2/0.75, Lucene-style
+``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf).
+
+Scale shape:
+  * ``build_postings`` / ``doc_lengths`` are each ONE combinable
+    groupBy over the token stream (map-side partial counts) — the same
+    shuffle discipline as the term dictionary (operators/phrases.py).
+    At 100 TB the postings table is the thing you bucket by ``term``
+    (exactly like the triple store buckets by ``subj``,
+    operators/triples.py:133) so query-time term lookups are
+    partition-pruned scans, not shuffles.
+  * ``bm25_topk`` filters the token stream to the query's terms BEFORE
+    any shuffle — the tf aggregation runs over only matching tokens, so
+    its cost is proportional to the posting lists touched, not the
+    corpus. The per-term df/idf frame is a handful of rows and is
+    broadcast; the only corpus-wide aggregation is ``doc_lengths``
+    (reusable across queries — pass a precomputed frame).
+  * the global top-k is ``orderBy(...).limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+    rows), NOT a single-partition global sort; the rank column is then
+    a window over the k surviving rows only.
+
+Determinism contract (for the DuckDB value oracle): every per-term
+score is one double expression — written with the SAME association on
+both engines, constants pre-folded (k1+1 = 2.2, k1·(1-b) = 0.3,
+k1·b = 0.9) — rounded ONCE to 1e-4 units and cast to BIGINT; the
+per-document score is then an ORDER-FREE integer sum of those units, so
+float summation order can never flip a rank across engines (same
+discipline as the integer PageRank, operators/components.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def doc_lengths(tokens: DataFrame) -> DataFrame:
+    """(doc_id, dl) — token count per document; one combinable groupBy.
+
+    Documents with zero tokens have no rows here and are out of BM25
+    scope by construction (they can match no term)."""
+    return tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+
+
+def build_postings(tokens: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) posting entries — ONE combinable groupBy.
+
+    Write ``.bucketBy(N, "term")`` when persisting as a serving table
+    so per-term reads are partition-pruned (triples.py:133 pattern)."""
+    return tokens.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def bm25_topk(
+    tokens: DataFrame,
+    query_terms: Iterable[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    dl: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under Okapi BM25.
+
+    Returns (doc_id, rnk, score_i4, n_hit): ``score_i4`` is the BM25
+    score in integer 1e-4 units (see module docstring), ``n_hit`` the
+    number of distinct query terms present in the document, ``rnk`` the
+    dense 1..k position (ties broken by ascending doc_id).
+
+    ``dl`` may be a precomputed ``doc_lengths(tokens)`` frame (the one
+    corpus-wide aggregation here — amortize it across queries).
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    # corpus scalars in ONE aggregation job; a caller-supplied dl frame
+    # (the amortized path — possibly the caller's persisted cache or a
+    # bucketed catalog table) is read for stats but never
+    # persisted/unpersisted here, and the lazily returned plan reads it
+    # as-is
+    if dl is None:
+        stats = tokens.agg(
+            F.countDistinct("doc_id").alias("n"),
+            F.count(F.lit(1)).alias("total"),
+        ).collect()[0]
+        dl = doc_lengths(tokens)
+    else:
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+        ).collect()[0]
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        return tokens.sparkSession.createDataFrame(
+            [], "doc_id long, rnk long, score_i4 long, n_hit long"
+        )
+    avgdl = int(stats["total"]) / n_docs  # exact IEEE division
+    c1 = round(k1 + 1.0, 10)
+    c2 = round(k1 * (1.0 - b), 10)
+    c3 = round(k1 * b, 10)
+    tf = (
+        tokens.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # one double expression per (doc, term), identical shape to the
+    # oracle SQL, rounded once to integer 1e-4 units
+    score_i4 = F.expr(
+        f"CAST(round(ln((CAST({n_docs} AS DOUBLE) - df + 0.5)"
+        " / (df + 0.5) + 1.0)"
+        f" * ((tf * {c1!r}) / (tf + ({c2!r} + {c3!r}"
+        f" * (dl / {avgdl!r})))) * 10000) AS BIGINT)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", score_i4.alias("s"))
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.sum("s").alias("score_i4"),
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+    )
+    topk = doc_scores.orderBy(
+        F.desc("score_i4"), F.asc("doc_id")
+    ).limit(k)
+    w = Window.orderBy(F.desc("score_i4"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "score_i4",
+        "n_hit",
+    )
+
+
+def bm25_oracle_sql(
+    tokens_sql: str,
+    query_terms: Iterable[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle for ``bm25_topk``: the same integer-unit scoring
+    over the same token stream, N/avgdl as subqueries (exact integer
+    inputs to the same IEEE double ops)."""
+    terms = sorted(set(query_terms))
+    c1 = round(k1 + 1.0, 10)
+    c2 = round(k1 * (1.0 - b), 10)
+    c3 = round(k1 * b, 10)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (
+        f"WITH toks AS ({tokens_sql}), "
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks"
+        " GROUP BY doc_id), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(dl) AS BIGINT) AS total FROM dl), "
+        f"tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+        f" FROM toks WHERE term IN ({in_list}) GROUP BY doc_id, term), "
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf"
+        " GROUP BY term), "
+        "scored AS (SELECT doc_id,"
+        " CAST(round(ln((CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5)"
+        " / (df + 0.5) + 1.0)"
+        f" * ((tf * {c1!r}) / (tf + ({c2!r} + {c3!r}"
+        " * (dl / (CAST((SELECT total FROM st) AS DOUBLE)"
+        " / (SELECT n FROM st)))))) * 10000) AS BIGINT) AS s"
+        " FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)), "
+        "ds AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_i4,"
+        " CAST(count(*) AS BIGINT) AS n_hit FROM scored GROUP BY doc_id), "
+        "ranked AS (SELECT doc_id, CAST(row_number() OVER ("
+        " ORDER BY score_i4 DESC, doc_id) AS BIGINT) AS rnk,"
+        " score_i4, n_hit FROM ds) "
+        f"SELECT doc_id, rnk, score_i4, n_hit FROM ranked WHERE rnk <= {k}"
+    )

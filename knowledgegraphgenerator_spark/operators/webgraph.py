@@ -96,3 +96,87 @@ def host_link_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", src_col: str = "url"
+) -> DataFrame:
+    """(src_url, href, anchor) — every absolute http(s) link together
+    with its anchor TEXT.
+
+    Anchor text is the web's crowd-sourced surface-form inventory for
+    the target entity (the KG-construction reading: what the rest of
+    the web calls the thing this URL denotes — the same role synonym
+    rows play for ontology terms, /root/reference/request_type/
+    JSONExportParser.py:81-102). Extraction is two regexp passes over
+    whole ``<a href=...>text</a>`` elements (double- then single-quoted
+    href), then per-element group extraction — no parser, no UDF, one
+    narrow whole-stage-codegen projection. Anchors containing nested
+    markup (``<b>…``) stop at the first ``<`` by the ``[^<]*`` body —
+    plain-text anchors only, by design.
+    """
+    h = F.col(html_col).cast("string")
+    tags = F.concat(
+        F.regexp_extract_all(
+            h, F.lit(r'<a href="[^"]*"[^>]*>[^<]*</a>'), F.lit(0)
+        ),
+        F.regexp_extract_all(
+            h, F.lit(r"<a href='[^']*'[^>]*>[^<]*</a>"), F.lit(0)
+        ),
+    )
+    tag = F.col("tag")
+    href = F.when(
+        tag.rlike('^<a href="'),
+        F.regexp_extract(tag, 'href="([^"]*)"', 1),
+    ).otherwise(F.regexp_extract(tag, "href='([^']*)'", 1))
+    return (
+        df.select(
+            F.col(src_col).alias("src_url"),
+            F.explode(tags).alias("tag"),
+        )
+        .select(
+            "src_url",
+            href.alias("href"),
+            F.regexp_extract(tag, ">([^<]*)<", 1).alias("anchor"),
+        )
+        .where(F.col("href").rlike(_ABS_HTTP_RE))
+    )
+
+
+def anchor_text_profile(
+    anchors: DataFrame, top_k: int = 3
+) -> DataFrame:
+    """(dst_host, rnk, term, cnt) — the ``top_k`` most frequent anchor
+    terms pointing AT each host: per-entity surface-form ranking, the
+    web-graph analogue of the reference's frequency-ranked term
+    dictionary (/root/reference/strategy/phrase_finder.py:29-45).
+
+    One combinable groupBy on (dst_host, term) then a PER-KEY window —
+    partitioned by dst_host, so Catalyst's WindowGroupLimit pushes the
+    rank<=k cut below the Exchange (the same skew posture measured for
+    cap_per_key, BENCH/SKEW_FALLBACKS.md); no global sort anywhere.
+    Ties break on ascending term for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        anchors.select(
+            _host("href").alias("dst_host"),
+            F.explode(
+                F.split(F.lower(F.col("anchor")), " ")
+            ).alias("term"),
+        )
+        .where((F.col("dst_host") != "") & (F.col("term") != ""))
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    return (
+        counts.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rnk") <= top_k)
+        .select("dst_host", "rnk", "term", "cnt")
+    )

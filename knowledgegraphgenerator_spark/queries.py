@@ -64,6 +64,9 @@ from knowledgegraphgenerator_spark.operators.curation import (
     IPV4_RE as _IPV4_RE,
     PHONE_RE as _PHONE_RE,
 )
+from knowledgegraphgenerator_spark.operators.retrieval import (
+    bm25_oracle_sql as _bm25_oracle_sql,
+)
 
 # ---------------------------------------------------------------- helpers
 
@@ -1828,6 +1831,157 @@ def q_host_pagerank(spark, sf_dir):
     return integer_pagerank(nt, assume_distinct=True)
 
 
+def q_host_hits(spark, sf_dir):
+    """Integer HITS hubs & authorities over the same extracted host
+    link graph as host_pagerank — the second classic authority score a
+    crawl prioritizer runs on the web graph
+    (operators/components.integer_hits). host_link_graph output is
+    distinct per (src, dst) so ``assume_distinct=True`` skips the
+    defensive dedup Exchange. Oracle: the link-graph CTE chain + the
+    same fixed-k integer iteration unrolled (nonnegative integer
+    division only — bit-exact, no floats)."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        integer_hits,
+    )
+    from knowledgegraphgenerator_spark.operators.webgraph import (
+        extract_links,
+        host_link_graph,
+    )
+
+    g = host_link_graph(
+        extract_links(_host_pages(spark, sf_dir), "html", "url")
+    )
+    nt = g.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return integer_hits(nt, n_iters=2, assume_distinct=True)
+
+
+# BM25 retrieval: fixed bag-of-terms query over the corpus token
+# stream. Terms chosen for df spread at every sf: 'dup' is ~20x rarer
+# than the rest of the vocabulary, so idf actually discriminates.
+_BM25_QUERY_TERMS = ("customer", "dup", "spark", "window")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 documents for a fixed 4-term query
+    (operators/retrieval.bm25_topk): postings/df/dl built from the
+    shared token stream; per-term scores in integer 1e-4 units so the
+    per-doc sum is order-free (see retrieval.py module docstring);
+    global top-k via TakeOrderedAndProject, rank window over the 20
+    survivors only."""
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        _tokens(spark, sf_dir).select("doc_id", "term"),
+        _BM25_QUERY_TERMS,
+        k=20,
+    )
+
+
+def q_bpe_merge_pairs(spark, sf_dir):
+    """Tokenizer-training prep: the corpus-wide adjacent character-pair
+    statistic that drives one BPE merge iteration (Sennrich et al.
+    2016) — pair counts weighted by word frequency, top-20 with rank.
+    Two combinable groupBys (word dictionary, then pair agg over the
+    DICTIONARY — ~|vocab| rows, not corpus tokens) + a
+    TakeOrderedAndProject top-k; the ANSI sequence(1,0)-counts-DOWN
+    trap is guarded by the length >= 2 filter."""
+    toks = _tokens(spark, sf_dir)
+    words = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = words.where(F.length("term") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(term) - 1),"
+                " i -> substring(term, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    topk = agg.orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return topk.select(
+        "pair", "cnt", F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
+# Anchor-text synthesis: deterministic pages whose <a> elements carry
+# multi-word anchor TEXT (surface forms for the target host). The
+# d%2==0 branch uses a single-quoted href with case/port/www noise so
+# both quote styles AND host normalization are exercised; the d%3==0
+# branch is a relative link extraction must DROP.
+_ANCHOR_W1 = ("download", "install", "docs", "blog", "pricing")
+_ANCHOR_W2 = ("spark", "engine", "guide")
+
+
+def _anchor_pages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s = lambda e: F.expr(f"CAST({e} AS STRING)")  # noqa: E731
+    w1 = F.element_at(
+        F.array(*[F.lit(x) for x in _ANCHOR_W1]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    w2 = F.element_at(
+        F.array(*[F.lit(x) for x in _ANCHOR_W2]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    html = F.concat(
+        F.lit('<html><p>page</p><a href="https://site'),
+        s("(doc_id * 31) % 7"),
+        F.lit(".example.com/p/"),
+        s("(doc_id * 31) % 211"),
+        F.lit('">'),
+        w1,
+        F.lit(" "),
+        w2,
+        F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<a href='HTTPS://WWW.Site"),
+                s("(doc_id * 17) % 7"),
+                F.lit(".Example.COM:443/s'>"),
+                w2,
+                F.lit(" homepage</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<a href="/rel/x">skip me</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    url = F.concat(
+        F.lit("https://site"), s("doc_id % 7"),
+        F.lit(".example.com/p/"), s("doc_id"),
+    )
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_anchor_text_profile(spark, sf_dir):
+    """Per-host anchor-text surface forms: extract each absolute link
+    WITH its anchor text (operators/webgraph.extract_anchors — whole
+    <a> elements, both quote styles, no parser), normalize the target
+    host, tokenize the anchors, and rank the top-3 terms per host
+    (anchor_text_profile — per-key window, WindowGroupLimit-eligible).
+    The oracle mirrors the synthesis, the two-pass element scan, and
+    the host normalization in DuckDB."""
+    from knowledgegraphgenerator_spark.operators.webgraph import (
+        anchor_text_profile,
+        extract_anchors,
+    )
+
+    return anchor_text_profile(
+        extract_anchors(_anchor_pages(spark, sf_dir), "html", "url"),
+        top_k=3,
+    )
+
+
 # Registry ORDER is deliberate: the driver gate reports exactly the
 # FIRST 50 registry entries, so the first 50 slots carry every query
 # that is new or changed this round, and the tail ROTATES (VERDICT r4
@@ -1846,7 +2000,11 @@ def q_host_pagerank(spark, sf_dir):
 # neardup_keep_best, crawl_delta, host_link_graph, and host_pagerank
 # are NEW and take first-50 slots; jaccard_pairs, embedding_topk,
 # minhash_signatures, sessionize, and path_prefix_antijoin (green
-# driver rows r02-r04) rotate to the tail.
+# driver rows r02-r04) rotate to the tail. Final round-5 additions:
+# bm25_topk, anchor_text_profile, host_hits, and bpe_merge_pairs are
+# NEW and take first-50 slots; stratified_sample, chunk_by_tokens,
+# doc_length_quantiles, and salted_term_stats (green driver rows
+# r03-r04) rotate to the tail.
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1866,13 +2024,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture_rebalance": q_domain_mixture_rebalance,
     "training_shards": q_training_shards,
     "domain_cap_salted": q_domain_cap_salted,
-    "stratified_sample": q_stratified_sample,
-    "chunk_by_tokens": q_chunk_by_tokens,
-    "doc_length_quantiles": q_doc_length_quantiles,
+    "bm25_topk": q_bm25_topk,
+    "anchor_text_profile": q_anchor_text_profile,
+    "host_hits": q_host_hits,
+    "bpe_merge_pairs": q_bpe_merge_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rake_keywords": q_rake_keywords,
     "term_cooccurrence": q_term_cooccurrence,
-    "salted_term_stats": q_salted_term_stats,
     "last_signup_propagation": q_last_signup_propagation,
     "host_link_graph": q_host_link_graph,
     "hourly_event_counts": q_hourly_event_counts,
@@ -1903,6 +2061,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- position 51+ (rotating tail, see comment above): stable
     # queries with green driver rows in r02-r04; certified by
     # scripts/full_gate.py every round
+    "stratified_sample": q_stratified_sample,
+    "chunk_by_tokens": q_chunk_by_tokens,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "salted_term_stats": q_salted_term_stats,
     "lang_id_heuristic": q_lang_id_heuristic,
     "pii_scrub": q_pii_scrub,
     "repetition_signals": q_repetition_signals,
@@ -2689,6 +2851,135 @@ def _host_pagerank_oracle_sql(iters: int = 3) -> str:
 
 
 ORACLES["host_pagerank"] = _host_pagerank_oracle_sql()
+
+
+def _host_hits_oracle_sql(iters: int = 2) -> str:
+    """Integer HITS over the host link graph: the link-graph CTE chain
+    + the fixed-k hub/authority iteration unrolled, mirroring
+    operators/components.integer_hits value-for-value (authorities
+    seed uniform; per half-step: join-sum over one edge direction,
+    nodes-complete fill with 0, L1 normalization
+    ``raw * 1000000 // sum(raw)`` — nonnegative integer ops only, so
+    DuckDB `//` == Spark `div` bit-for-bit)."""
+    steps = []
+    prev_auth = "a0"
+    hub = None
+    for k in range(1, iters + 1):
+        hub = f"h{k}"
+        steps.append(
+            f"h{k}r AS (SELECT nt.src AS entity,"
+            f" CAST(sum({prev_auth}.auth) AS BIGINT) AS raw"
+            f" FROM nt JOIN {prev_auth} ON nt.dst = {prev_auth}.entity"
+            f" GROUP BY nt.src), "
+            f"h{k}f AS MATERIALIZED (SELECT nodes.entity,"
+            f" CAST(coalesce(raw, 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN h{k}r USING (entity)), "
+            f"h{k} AS MATERIALIZED (SELECT entity,"
+            f" CASE WHEN (SELECT CAST(sum(raw) AS BIGINT) FROM h{k}f) = 0"
+            f" THEN 0 ELSE raw * 1000000"
+            f" // (SELECT CAST(sum(raw) AS BIGINT) FROM h{k}f)"
+            f" END AS hub FROM h{k}f), "
+            f"a{k}r AS (SELECT nt.dst AS entity,"
+            f" CAST(sum(h{k}.hub) AS BIGINT) AS raw"
+            f" FROM nt JOIN h{k} ON nt.src = h{k}.entity"
+            f" GROUP BY nt.dst), "
+            f"a{k}f AS MATERIALIZED (SELECT nodes.entity,"
+            f" CAST(coalesce(raw, 0) AS BIGINT) AS raw"
+            f" FROM nodes LEFT JOIN a{k}r USING (entity)), "
+            f"a{k} AS MATERIALIZED (SELECT entity,"
+            f" CASE WHEN (SELECT CAST(sum(raw) AS BIGINT) FROM a{k}f) = 0"
+            f" THEN 0 ELSE raw * 1000000"
+            f" // (SELECT CAST(sum(raw) AS BIGINT) FROM a{k}f)"
+            f" END AS auth FROM a{k}f)"
+        )
+        prev_auth = f"a{k}"
+    chain = ", ".join(steps)
+    return (
+        f"WITH {_HOST_EDGES_CTES}, "
+        "nt AS MATERIALIZED ("
+        " SELECT DISTINCT src_host AS src, dst_host AS dst FROM e"
+        " WHERE src_host <> '' AND dst_host <> ''), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT entity FROM ("
+        " SELECT src AS entity FROM nt UNION ALL SELECT dst FROM nt)), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), "
+        "a0 AS (SELECT entity, 1000000 // (SELECT n FROM nn) AS auth"
+        " FROM nodes), "
+        f"{chain} "
+        f"SELECT {hub}.entity, CAST(hub AS BIGINT) AS hub,"
+        f" CAST(auth AS BIGINT) AS auth"
+        f" FROM {hub} JOIN {prev_auth} USING (entity)"
+    )
+
+
+ORACLES["host_hits"] = _host_hits_oracle_sql()
+
+ORACLES["bm25_topk"] = _bm25_oracle_sql(
+    _TOKENS_SQL, _BM25_QUERY_TERMS, k=20
+)
+
+ORACLES["bpe_merge_pairs"] = (
+    f"WITH toks AS ({_TOKENS_SQL}), "
+    "words AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks"
+    " GROUP BY term), "
+    "pairs AS (SELECT unnest(list_transform("
+    "generate_series(1, length(term) - 1),"
+    " i -> substr(term, i, 2))) AS pair, cnt"
+    " FROM words WHERE length(term) >= 2), "
+    "agg AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt FROM pairs"
+    " GROUP BY pair), "
+    "ranked AS (SELECT pair, cnt, CAST(row_number() OVER ("
+    " ORDER BY cnt DESC, pair) AS BIGINT) AS rnk FROM agg) "
+    "SELECT pair, cnt, rnk FROM ranked WHERE rnk <= 20"
+)
+
+# Anchor-text profile: mirrors _anchor_pages' synthesis, the two-pass
+# whole-<a>-element scan, and the host normalization; DuckDB lists are
+# 1-indexed so the word pick is the same (doc_id % m) + 1.
+_ANCHOR_W1_SQL = "['" + "', '".join(_ANCHOR_W1) + "']"
+_ANCHOR_W2_SQL = "['" + "', '".join(_ANCHOR_W2) + "']"
+ORACLES["anchor_text_profile"] = (
+    "WITH ap AS (SELECT doc_id,"
+    " '<html><p>page</p><a href=\"https://site'"
+    " || CAST((doc_id * 31) % 7 AS VARCHAR) || '.example.com/p/'"
+    " || CAST((doc_id * 31) % 211 AS VARCHAR) || '\">'"
+    f" || ({_ANCHOR_W1_SQL})[CAST(doc_id % 5 + 1 AS INT)] || ' '"
+    f" || ({_ANCHOR_W2_SQL})[CAST(doc_id % 3 + 1 AS INT)] || '</a>'"
+    " || CASE WHEN doc_id % 2 = 0 THEN"
+    " '<a href=''HTTPS://WWW.Site' || CAST((doc_id * 17) % 7 AS VARCHAR)"
+    f" || '.Example.COM:443/s''>'"
+    f" || ({_ANCHOR_W2_SQL})[CAST(doc_id % 3 + 1 AS INT)]"
+    " || ' homepage</a>' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<a href=\"/rel/x\">skip me</a>'"
+    " ELSE '' END || '</html>' AS html FROM documents), "
+    "tags AS (SELECT unnest(list_concat("
+    " regexp_extract_all(html, '<a href=\"[^\"]*\"[^>]*>[^<]*</a>'),"
+    " regexp_extract_all(html, '<a href=''[^'']*''[^>]*>[^<]*</a>')))"
+    " AS tag FROM ap), "
+    "la AS (SELECT CASE WHEN regexp_matches(tag, '^<a href=\"')"
+    " THEN regexp_extract(tag, 'href=\"([^\"]*)\"', 1)"
+    " ELSE regexp_extract(tag, 'href=''([^'']*)''', 1) END AS href,"
+    " regexp_extract(tag, '>([^<]*)<', 1) AS anchor FROM tags), "
+    "f AS (SELECT href, anchor FROM la"
+    " WHERE regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')), "
+    "hn AS (SELECT"
+    " lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    " AS s2,"
+    " lower(regexp_extract(href,"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS h2,"
+    " anchor FROM f), "
+    "e AS (SELECT regexp_replace(CASE"
+    " WHEN s2 = 'http' THEN regexp_replace(h2, ':80$', '')"
+    " WHEN s2 = 'https' THEN regexp_replace(h2, ':443$', '')"
+    " ELSE h2 END, '^www\\.', '') AS dst_host, anchor FROM hn), "
+    "terms AS (SELECT dst_host, unnest(string_split(lower(anchor), ' '))"
+    " AS term FROM e WHERE dst_host <> ''), "
+    "cnts AS (SELECT dst_host, term, CAST(count(*) AS BIGINT) AS cnt"
+    " FROM terms WHERE term <> '' GROUP BY dst_host, term), "
+    "ranked AS (SELECT dst_host, CAST(row_number() OVER ("
+    " PARTITION BY dst_host ORDER BY cnt DESC, term) AS BIGINT) AS rnk,"
+    " term, cnt FROM cnts) "
+    "SELECT dst_host, rnk, term, cnt FROM ranked WHERE rnk <= 3"
+)
 
 # Type-7 interpolated quantile in both engines (Spark `percentile`,
 # DuckDB `quantile_cont`); one round(4) on each side absorbs float

@@ -1,0 +1,241 @@
+"""Inverted-index / BM25 retrieval (operators/retrieval.py), integer
+HITS (operators/components.integer_hits), and anchor-text extraction
+(operators/webgraph.extract_anchors / anchor_text_profile). Driver-gated
+twins: bm25_topk, host_hits, anchor_text_profile, bpe_merge_pairs
+(queries.py) with DuckDB oracles."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from knowledgegraphgenerator_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+    doc_lengths,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+_CORPUS = [
+    (1, "apple banana apple"),
+    (2, "apple cherry"),
+    (3, "banana banana banana cherry"),
+]
+
+
+def _tokens_df(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.createDataFrame(_CORPUS, "doc_id long, text string")
+        .select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+    )
+
+
+def _ref_bm25(query, k1=1.2, b=0.75):
+    """Plain-Python reference of the pinned scoring: per-term double,
+    HALF_UP-rounded once to 1e-4 integer units, integer-summed."""
+    toks = {d: t.split() for d, t in _CORPUS}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(dl.values()) / n
+    out = {}
+    for d, t in toks.items():
+        total, hit = 0, 0
+        for q in sorted(set(query)):
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if q in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s = idf * ((tf * (k1 + 1.0)) / (tf + (k1 * (1.0 - b) + k1 * b * (dl[d] / avgdl))))
+            total += int(math.floor(s * 10000 + 0.5))
+            hit += 1
+        if hit:
+            out[d] = (total, hit)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    """Exact integer-unit agreement with the plain-Python reference,
+    rank order (score desc, doc_id asc) included."""
+    got = bm25_topk(_tokens_df(spark), ("apple", "cherry"), k=3).collect()
+    ref = _ref_bm25(("apple", "cherry"))
+    expected = sorted(
+        ((s, h, d) for d, (s, h) in ref.items()),
+        key=lambda x: (-x[0], x[2]),
+    )
+    assert [(r["score_i4"], r["n_hit"], r["doc_id"]) for r in got] == expected
+    assert [r["rnk"] for r in got] == list(range(1, len(expected) + 1))
+
+
+def test_bm25_idf_prefers_rare_terms(spark):
+    """A doc matching only the rare term outscores a doc matching only
+    the common term at equal tf and dl — the idf half of BM25."""
+    rows = [
+        (1, ["rare", "x", "y"]),
+        (2, ["common", "x", "y"]),
+        (3, ["common", "p", "q"]),
+        (4, ["common", "r", "s"]),
+    ]
+    toks = spark.createDataFrame(
+        [(d, t) for d, ts in rows for t in ts], "doc_id long, term string"
+    )
+    got = {r["doc_id"]: r["rnk"] for r in bm25_topk(toks, ("rare", "common"), k=4).collect()}
+    assert got[1] == 1
+
+
+def test_bm25_edge_cases(spark):
+    toks = _tokens_df(spark)
+    with pytest.raises(ValueError):
+        bm25_topk(toks, [])
+    assert bm25_topk(toks, ("absent",), k=5).count() == 0
+    empty = toks.where("doc_id < 0")
+    assert bm25_topk(empty, ("apple",), k=5).count() == 0
+
+
+def test_postings_and_lengths(spark):
+    toks = _tokens_df(spark)
+    post = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in build_postings(toks).collect()
+    }
+    assert post[("apple", 1)] == 2 and post[("banana", 3)] == 3
+    dl = {r["doc_id"]: r["dl"] for r in doc_lengths(toks).collect()}
+    assert dl == {1: 3, 2: 2, 3: 4}
+
+
+def test_bm25_topk_plan_uses_take_ordered(spark):
+    """The global top-k must be TakeOrderedAndProject (per-partition
+    heaps), not a global sort of all scored documents."""
+    plan = _plan(bm25_topk(_tokens_df(spark), ("apple",), k=2))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_integer_hits_star_graph(spark):
+    """Two pages linking one target: sources are pure hubs (split
+    mass), the target is the sole authority — exact integer values."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        integer_hits,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["entity"]: (r["hub"], r["auth"])
+        for r in integer_hits(edges, n_iters=2).collect()
+    }
+    assert got == {
+        "a": (500000, 0),
+        "b": (500000, 0),
+        "c": (0, 1000000),
+    }
+
+
+def test_integer_hits_empty(spark):
+    from knowledgegraphgenerator_spark.operators.components import (
+        integer_hits,
+    )
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert integer_hits(edges).count() == 0
+
+
+def test_extract_anchors_quote_styles_and_drops(spark):
+    """Double- and single-quoted hrefs both carry their anchor text;
+    relative links and anchors with nested markup are dropped (the
+    plain-text-anchor contract)."""
+    from knowledgegraphgenerator_spark.operators.webgraph import (
+        extract_anchors,
+    )
+
+    html = (
+        '<a href="https://a.com/x">download spark</a>'
+        "<a href='https://b.com/y' rel=nofollow>user guide</a>"
+        '<a href="/rel">local</a>'
+        '<a href="https://c.com/z"><b>bold</b></a>'
+    )
+    df = spark.createDataFrame(
+        [("https://src.com/", html)], "url string, html string"
+    )
+    got = sorted(
+        (r["href"], r["anchor"])
+        for r in extract_anchors(df, "html", "url").collect()
+    )
+    assert got == [
+        ("https://a.com/x", "download spark"),
+        ("https://b.com/y", "user guide"),
+    ]
+
+
+def test_anchor_text_profile_topk_and_ties(spark):
+    """Per-host term ranking: count desc, then term asc on ties; rank
+    cut at top_k; host normalization collapses www/port variants."""
+    from knowledgegraphgenerator_spark.operators.webgraph import (
+        anchor_text_profile,
+    )
+
+    rows = [
+        ("s", "https://t.com/1", "spark engine"),
+        ("s", "https://WWW.T.com:443/2", "spark docs"),
+        ("s", "https://t.com/3", "engine"),
+        ("s", "https://other.net/", "zz"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, href string, anchor string")
+    got = [
+        (r["dst_host"], r["rnk"], r["term"], r["cnt"])
+        for r in anchor_text_profile(df, top_k=2).collect()
+    ]
+    assert sorted(got) == [
+        ("other.net", 1, "zz", 1),
+        ("t.com", 1, "engine", 2),
+        ("t.com", 2, "spark", 2),
+    ]
+
+
+def test_bpe_pair_guard_short_words(spark, tmp_path):
+    """Length-1 words must contribute no pairs (ANSI sequence(1,0)
+    counts DOWN — the length >= 2 filter in q_bpe_merge_pairs is
+    load-bearing). Exercises the REAL registered query on a crafted
+    documents table where removing the guard crashes (ANSI) or mints
+    phantom pairs."""
+    from knowledgegraphgenerator_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "a a a go", "en"), (2, "a go be", "en")],
+        "doc_id long, text string, lang string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["pair"]: (r["cnt"], r["rnk"])
+        for r in QUERIES["bpe_merge_pairs"](spark, sf).collect()
+    }
+    # words: a(x4, len 1 -> no pairs), go(x2), be(x1)
+    assert got == {"go": (2, 1), "be": (1, 2)}
+
+
+def test_integer_hits_zero_iters_returns_seed(spark):
+    """n_iters=0 returns the uniform seed state — the same
+    degenerate-parameter contract as integer_pagerank."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        integer_hits,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src string, dst string"
+    )
+    got = {
+        r["entity"]: (r["hub"], r["auth"])
+        for r in integer_hits(edges, n_iters=0).collect()
+    }
+    assert got == {"a": (500000, 500000), "b": (500000, 500000)}
