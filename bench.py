@@ -110,6 +110,9 @@ HEADLINE = [
     # HITS on the host graph, per-host anchor-text surface forms, and
     # the BPE merge-pair statistic (dictionary-sized agg + top-k)
     "bm25_topk",
+    # the store-then-serve twin: its timing INCLUDES writing the
+    # bucketed postings/doclen catalog tables (store cost is the point)
+    "bm25_served",
     "host_hits",
     "anchor_text_profile",
     "bpe_merge_pairs",

@@ -64,6 +64,68 @@ def build_postings(tokens: DataFrame) -> DataFrame:
     )
 
 
+_EMPTY_RESULT_SCHEMA = "doc_id long, rnk long, score_i4 long, n_hit long"
+
+
+def _dl_stats(dl: DataFrame) -> tuple:
+    """(n_docs, avgdl) from a doc-length frame — the corpus scalars
+    both BM25 paths need; one aggregation job. n_docs == 0 means an
+    empty corpus (callers return the empty result frame)."""
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        return 0, 0.0
+    return n_docs, int(stats["total"]) / n_docs  # exact IEEE division
+
+
+def _score_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring tail of the from-tokens and served BM25 paths:
+    (doc_id, term, tf) x (doc_id, dl) -> ranked top-k. One double
+    expression per (doc, term) — identical shape to the oracle SQL —
+    rounded once to integer 1e-4 units, then an order-free integer
+    sum per doc; top-k = TakeOrderedAndProject, rank window over the
+    k survivors only."""
+    c1 = round(k1 + 1.0, 10)
+    c2 = round(k1 * (1.0 - b), 10)
+    c3 = round(k1 * b, 10)
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score_i4 = F.expr(
+        f"CAST(round(ln((CAST({n_docs} AS DOUBLE) - df + 0.5)"
+        " / (df + 0.5) + 1.0)"
+        f" * ((tf * {c1!r}) / (tf + ({c2!r} + {c3!r}"
+        f" * (dl / {avgdl!r})))) * 10000) AS BIGINT)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", score_i4.alias("s"))
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.sum("s").alias("score_i4"),
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+    )
+    topk = doc_scores.orderBy(
+        F.desc("score_i4"), F.asc("doc_id")
+    ).limit(k)
+    w = Window.orderBy(F.desc("score_i4"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "score_i4",
+        "n_hit",
+    )
+
+
 def bm25_topk(
     tokens: DataFrame,
     query_terms: Iterable[str],
@@ -95,53 +157,77 @@ def bm25_topk(
             F.countDistinct("doc_id").alias("n"),
             F.count(F.lit(1)).alias("total"),
         ).collect()[0]
+        n_docs = int(stats["n"] or 0)
+        avgdl = int(stats["total"]) / n_docs if n_docs else 0.0
         dl = doc_lengths(tokens)
     else:
-        stats = dl.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
-        ).collect()[0]
-    n_docs = int(stats["n"] or 0)
+        n_docs, avgdl = _dl_stats(dl)
     if n_docs == 0:
         return tokens.sparkSession.createDataFrame(
-            [], "doc_id long, rnk long, score_i4 long, n_hit long"
+            [], _EMPTY_RESULT_SCHEMA
         )
-    avgdl = int(stats["total"]) / n_docs  # exact IEEE division
-    c1 = round(k1 + 1.0, 10)
-    c2 = round(k1 * (1.0 - b), 10)
-    c3 = round(k1 * b, 10)
     tf = (
         tokens.where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # one double expression per (doc, term), identical shape to the
-    # oracle SQL, rounded once to integer 1e-4 units
-    score_i4 = F.expr(
-        f"CAST(round(ln((CAST({n_docs} AS DOUBLE) - df + 0.5)"
-        " / (df + 0.5) + 1.0)"
-        f" * ((tf * {c1!r}) / (tf + ({c2!r} + {c3!r}"
-        f" * (dl / {avgdl!r})))) * 10000) AS BIGINT)"
+    return _score_rank(tf, dl, n_docs, avgdl, k, k1, b)
+
+
+def write_retrieval_tables(
+    tokens: DataFrame,
+    postings_table: str = "bm25_postings",
+    dl_table: str = "bm25_doclen",
+    n_buckets: int = 8,
+) -> None:
+    """Materialize the retrieval store as Spark-native bucketed catalog
+    tables: postings ``bucketBy(N, term)`` (query-time per-term lookups
+    and the df aggregation ride the bucket layout — zero Exchange,
+    pinned in test_retrieval) and doc lengths ``bucketBy(N, doc_id)``.
+    Same writer/safety contract as the triple store
+    (operators/triples.write_bucketed_table)."""
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_bucketed_table,
     )
-    scored = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
-        .select("doc_id", score_i4.alias("s"))
+
+    write_bucketed_table(
+        build_postings(tokens), postings_table, "term", n_buckets
     )
-    doc_scores = scored.groupBy("doc_id").agg(
-        F.sum("s").alias("score_i4"),
-        F.count(F.lit(1)).cast("long").alias("n_hit"),
+    write_bucketed_table(
+        doc_lengths(tokens), dl_table, "doc_id", n_buckets
     )
-    topk = doc_scores.orderBy(
-        F.desc("score_i4"), F.asc("doc_id")
-    ).limit(k)
-    w = Window.orderBy(F.desc("score_i4"), F.asc("doc_id"))
-    return topk.select(
-        "doc_id",
-        F.row_number().over(w).cast("long").alias("rnk"),
-        "score_i4",
-        "n_hit",
+
+
+def bm25_topk_served(
+    spark,
+    query_terms: Iterable[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings_table: str = "bm25_postings",
+    dl_table: str = "bm25_doclen",
+) -> DataFrame:
+    """``bm25_topk`` off the materialized retrieval store — how a
+    100 TB deployment serves queries without re-tokenizing the corpus.
+
+    The tf side is the postings CATALOG table filtered to the query's
+    terms (the ``In`` filter reaches the parquet scan; the term-keyed
+    df aggregation plans with zero Exchange on the bucketed layout);
+    corpus scalars come from one aggregation over the doc-length
+    table. Values must equal the from-tokens path exactly — gated by
+    the same DuckDB oracle and a served==plain differential."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk_served: empty query")
+    post = spark.table(postings_table)
+    dl = spark.table(dl_table)
+    n_docs, avgdl = _dl_stats(dl)
+    if n_docs == 0:
+        return spark.createDataFrame([], _EMPTY_RESULT_SCHEMA)
+    tf = post.where(F.col("term").isin(terms)).select(
+        "doc_id", "term", "tf"
     )
+    return _score_rank(tf, dl, n_docs, avgdl, k, k1, b)
 
 
 def bm25_oracle_sql(

@@ -132,16 +132,32 @@ def write_triples(
 def write_triples_bucketed_table(
     triples: DataFrame, table: str, n_buckets: int = 32
 ) -> None:
-    """Spark-NATIVE bucketed table (``bucketBy(N, subj).sortBy(subj)``
-    + ``saveAsTable``): unlike the partition-column layout above, the
-    bucket spec lives in the catalog, so every downstream equi-join or
-    aggregation on ``subj`` between tables bucketed with the same N
-    plans with ZERO Exchange on the bucketed sides (pinned in
-    ``test_plans``). This is the parquet twin of the Iceberg
-    ``bucket(N, subj)`` table spec (SURVEY.md §7.4): at 100 TB the
-    triple store is joined against itself (path expansion) and against
-    entity tables keyed by subj every query — pre-bucketing converts
-    those from full shuffles into local sort-merge joins.
+    """The triple store: ``write_bucketed_table`` on the ``subj`` key.
+    At 100 TB the triple store is joined against itself (path
+    expansion) and against entity tables keyed by subj every query —
+    pre-bucketing converts those from full shuffles into local
+    sort-merge joins (zero-Exchange subj joins pinned in
+    ``test_plans``). See ``write_bucketed_table`` for the layout and
+    deletion-safety contract."""
+    write_bucketed_table(triples, table, "subj", n_buckets)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+) -> None:
+    """Spark-NATIVE bucketed table (``bucketBy(N, bucket_col)
+    .sortBy(bucket_col)`` + ``saveAsTable``): unlike a partition-column
+    layout, the bucket spec lives in the catalog, so every downstream
+    equi-join or aggregation on ``bucket_col`` between tables bucketed
+    with the same N plans with ZERO Exchange on the bucketed sides,
+    and filters on the bucket key push to the scan. This is the
+    parquet twin of the Iceberg ``bucket(N, col)`` table spec
+    (SURVEY.md §7.4). Serving stores built on it: the triple store
+    (``write_triples_bucketed_table``, subj) and the retrieval store
+    (``operators/retrieval.write_retrieval_tables``, term / doc_id).
 
     Idempotent across SESSIONS, not just runs: a fresh metastore does
     not know about a previous session's managed-table directory, and
@@ -166,10 +182,10 @@ def write_triples_bucketed_table(
 
     from knowledgegraphgenerator_spark.plans.runner import hadoop_fs
 
-    spark = triples.sparkSession
+    spark = df.sparkSession
     if not re.fullmatch(r"[a-z_][a-z0-9_]*", table):
         raise ValueError(
-            "write_triples_bucketed_table requires an unqualified "
+            "write_bucketed_table requires an unqualified "
             f"lowercase table name, got {table!r}"
         )
     location = None
@@ -201,9 +217,9 @@ def write_triples_bucketed_table(
     if fs.exists(loc):
         fs.delete(loc, True)
     (
-        triples.write.mode("overwrite")
+        df.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, "subj")
-        .sortBy("subj")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
         .saveAsTable(table)
     )

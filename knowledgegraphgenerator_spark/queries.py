@@ -1881,6 +1881,37 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bm25_served(spark, sf_dir):
+    """Store-then-serve retrieval: the postings and doc-length tables
+    are MATERIALIZED as Spark-native bucketed catalog tables
+    (bucketBy(8, term) / bucketBy(8, doc_id) — the triple-store
+    layout, operators/retrieval.write_retrieval_tables) and the SAME
+    BM25 query then runs off the store without re-tokenizing the
+    corpus — the 100 TB serving shape. The term-keyed df aggregation
+    rides the bucket layout with zero Exchange and the query's In
+    filter reaches the parquet scan (pinned in test_retrieval).
+    Gated by the same DuckDB oracle as bm25_topk — store-then-serve
+    must be lossless."""
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        bm25_topk_served,
+        write_retrieval_tables,
+    )
+
+    write_retrieval_tables(
+        _tokens(spark, sf_dir).select("doc_id", "term"),
+        postings_table="bm25_postings_gate",
+        dl_table="bm25_doclen_gate",
+        n_buckets=8,
+    )
+    return bm25_topk_served(
+        spark,
+        _BM25_QUERY_TERMS,
+        k=20,
+        postings_table="bm25_postings_gate",
+        dl_table="bm25_doclen_gate",
+    )
+
+
 def q_bpe_merge_pairs(spark, sf_dir):
     """Tokenizer-training prep: the corpus-wide adjacent character-pair
     statistic that drives one BPE merge iteration (Sennrich et al.
@@ -2004,7 +2035,9 @@ def q_anchor_text_profile(spark, sf_dir):
 # bm25_topk, anchor_text_profile, host_hits, and bpe_merge_pairs are
 # NEW and take first-50 slots; stratified_sample, chunk_by_tokens,
 # doc_length_quantiles, and salted_term_stats (green driver rows
-# r03-r04) rotate to the tail.
+# r03-r04) rotate to the tail; bm25_served (store-then-serve off
+# bucketed postings/doclen catalog tables) is NEW in a first-50 slot
+# and doc_path_coverage (green r02-r04) rotates to the tail.
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2025,6 +2058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards": q_training_shards,
     "domain_cap_salted": q_domain_cap_salted,
     "bm25_topk": q_bm25_topk,
+    "bm25_served": q_bm25_served,
     "anchor_text_profile": q_anchor_text_profile,
     "host_hits": q_host_hits,
     "bpe_merge_pairs": q_bpe_merge_pairs,
@@ -2056,11 +2090,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_closure_served": q_kg_closure_served,
     "kg_pagerank": q_kg_pagerank,
     "kg_pagerank_served": q_kg_pagerank_served,
-    "doc_path_coverage": q_doc_path_coverage,
     "docs_at_root": q_docs_at_root,
     # --- position 51+ (rotating tail, see comment above): stable
     # queries with green driver rows in r02-r04; certified by
     # scripts/full_gate.py every round
+    "doc_path_coverage": q_doc_path_coverage,
     "stratified_sample": q_stratified_sample,
     "chunk_by_tokens": q_chunk_by_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -2916,6 +2950,9 @@ ORACLES["host_hits"] = _host_hits_oracle_sql()
 ORACLES["bm25_topk"] = _bm25_oracle_sql(
     _TOKENS_SQL, _BM25_QUERY_TERMS, k=20
 )
+# store-then-serve must be lossless: the served query answers to the
+# SAME oracle as the from-tokens path
+ORACLES["bm25_served"] = ORACLES["bm25_topk"]
 
 ORACLES["bpe_merge_pairs"] = (
     f"WITH toks AS ({_TOKENS_SQL}), "

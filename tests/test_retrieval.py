@@ -120,6 +120,45 @@ def test_bm25_topk_plan_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_served_equals_plain_and_rides_buckets(spark):
+    """Store-then-serve must be lossless: the bucketed-catalog-table
+    path returns exactly the from-tokens result; the term-keyed df
+    aggregation plans with ZERO Exchange on the term-bucketed postings
+    and the query's In filter reaches the parquet scan."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        bm25_topk_served,
+        write_retrieval_tables,
+    )
+
+    toks = _tokens_df(spark)
+    write_retrieval_tables(
+        toks, "t_bm25_post", "t_bm25_dl", n_buckets=4
+    )
+    q = ("apple", "cherry")
+    plain = sorted(
+        tuple(r) for r in bm25_topk(toks, q, k=3).collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in bm25_topk_served(
+            spark, q, k=3,
+            postings_table="t_bm25_post", dl_table="t_bm25_dl",
+        ).collect()
+    )
+    assert served == plain and len(served) == 3
+    dfq = (
+        spark.table("t_bm25_post")
+        .where(F.col("term").isin(list(q)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    plan = _plan(dfq)
+    assert "Exchange" not in plan
+    assert "In(term" in plan  # pushed to the parquet scan
+
+
 def test_integer_hits_star_graph(spark):
     """Two pages linking one target: sources are pure hubs (split
     mass), the target is the sole authority — exact integer values."""
