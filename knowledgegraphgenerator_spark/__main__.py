@@ -20,6 +20,11 @@ plus the web-corpus subcommand.
       --source /path/incoming --dictionary /path/dict_parquet \\
       --output /path/triples --checkpoint /path/ckpt
 
+  python -m knowledgegraphgenerator_spark index \\
+      --input /path/documents_parquet [--buckets 32]
+  python -m knowledgegraphgenerator_spark search \\
+      --terms spark,window --k 20 [--output /path/hits]
+
 For cluster runs: zip the package (scripts/package.sh) and
 ``spark-submit --py-files kg_spark.zip run_kg.py ...`` — the module only
 uses SparkSession.builder, no local-mode assumptions.
@@ -118,10 +123,41 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "from each batch BEFORE dedup/admit",
     )
 
-    for p in (faq, corpus, an, syn, dd, st, ing):
+    ix = sub.add_parser(
+        "index",
+        help="documents parquet (doc_id, text) → bucketed "
+             "postings/doclen catalog tables — the BM25 serving store",
+    )
+    ix.add_argument("--input", required=True)
+    ix.add_argument("--postings-table", default="bm25_postings")
+    ix.add_argument("--doclen-table", default="bm25_doclen")
+    ix.add_argument("--buckets", type=int, default=32)
+
+    se = sub.add_parser(
+        "search",
+        help="BM25 top-k over an indexed store (same session catalog "
+             "or the warehouse files a previous `index` run wrote)",
+    )
+    se.add_argument("--terms", required=True,
+                    help="comma-separated query terms")
+    se.add_argument("--k", type=int, default=20)
+    se.add_argument("--postings-table", default="bm25_postings")
+    se.add_argument("--doclen-table", default="bm25_doclen")
+    se.add_argument("--output", default=None,
+                    help="write results parquet; default prints one "
+                         "JSON line per hit")
+
+    for p in (faq, corpus, an, syn, dd, st, ing, ix, se):
         p.add_argument("--v", action="store_true", help="verbose")
 
     args = ap.parse_args(argv)
+    if args.cmd == "search":
+        args.term_list = [
+            t.strip() for t in args.terms.split(",") if t.strip()
+        ]
+        if not args.term_list:
+            # clean exit-2 before any Spark session spins up
+            ap.error("search: --terms needs at least one non-empty term")
 
     owns_session = spark is None
     if owns_session:
@@ -256,6 +292,42 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 store_dir=args.store,
                 benchmark_dir=args.benchmark,
             )
+        elif args.cmd == "index":
+            from pyspark.sql import functions as F
+
+            from knowledgegraphgenerator_spark.operators.retrieval import (
+                write_retrieval_tables,
+            )
+
+            docs = spark.read.parquet(args.input)
+            tokens = docs.select(
+                "doc_id",
+                F.explode(F.split("text", " ")).alias("term"),
+            ).where(F.col("term") != "")
+            write_retrieval_tables(
+                tokens,
+                postings_table=args.postings_table,
+                dl_table=args.doclen_table,
+                n_buckets=args.buckets,
+            )
+            if args.v:
+                print(f"indexed -> {args.postings_table}, "
+                      f"{args.doclen_table}")
+        elif args.cmd == "search":
+            from knowledgegraphgenerator_spark.operators.retrieval import (
+                bm25_topk_served,
+            )
+
+            hits = bm25_topk_served(
+                spark, args.term_list, k=args.k,
+                postings_table=args.postings_table,
+                dl_table=args.doclen_table,
+            )
+            if args.output:
+                hits.write.mode("overwrite").parquet(args.output)
+            else:
+                for r in hits.collect():
+                    print(json.dumps(r.asDict()))
         elif args.cmd == "synonyms":
             from knowledgegraphgenerator_spark.operators.word2vec import (
                 synonym_generation_master,

@@ -193,9 +193,32 @@ def write_retrieval_tables(
     write_bucketed_table(
         build_postings(tokens), postings_table, "term", n_buckets
     )
-    write_bucketed_table(
-        doc_lengths(tokens), dl_table, "doc_id", n_buckets
+    # doc length == sum(tf) per doc over the postings JUST written —
+    # identical values to doc_lengths(tokens), computed over |postings|
+    # rows instead of a second full pass over the token stream
+    dl = (
+        tokens.sparkSession.table(postings_table)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
     )
+    write_bucketed_table(dl, dl_table, "doc_id", n_buckets)
+
+
+def _table_or_warehouse(spark, table: str) -> DataFrame:
+    """Resolve a serving table: the catalog entry when this session
+    knows it (the bucketed zero-Exchange path — on a cluster a shared
+    metastore makes this the norm), else the managed-table parquet
+    files under the warehouse dir (the cross-process CLI path on the
+    default in-memory catalog, where ``saveAsTable`` data outlives the
+    session but the catalog entry does not; values are identical, the
+    plan just loses the bucket-layout guarantee)."""
+    from knowledgegraphgenerator_spark.operators.triples import (
+        managed_table_location,
+    )
+
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    return spark.read.parquet(managed_table_location(spark, table))
 
 
 def bm25_topk_served(
@@ -219,8 +242,8 @@ def bm25_topk_served(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("bm25_topk_served: empty query")
-    post = spark.table(postings_table)
-    dl = spark.table(dl_table)
+    post = _table_or_warehouse(spark, postings_table)
+    dl = _table_or_warehouse(spark, dl_table)
     n_docs, avgdl = _dl_stats(dl)
     if n_docs == 0:
         return spark.createDataFrame([], _EMPTY_RESULT_SCHEMA)

@@ -142,6 +142,22 @@ def write_triples_bucketed_table(
     write_bucketed_table(triples, table, "subj", n_buckets)
 
 
+def managed_table_location(spark, table: str) -> str:
+    """The warehouse path a managed table named ``table`` lives at in
+    the CURRENT database — the single place the layout rule
+    (``<warehouse>/<tbl>`` vs ``<warehouse>/<db>.db/<tbl>``) is
+    encoded; the bucketed-table writer's orphan cleanup and the
+    cross-process read fallback (operators/retrieval.py) both use
+    it so the two sides can never diverge."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    db = spark.catalog.currentDatabase()
+    return (
+        f"{warehouse.rstrip('/')}/{table}"
+        if db == "default"
+        else f"{warehouse.rstrip('/')}/{db}.db/{table}"
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
@@ -206,13 +222,7 @@ def write_bucketed_table(
         location = info.get("Location")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     if location is None:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        db = spark.catalog.currentDatabase()
-        location = (
-            f"{warehouse.rstrip('/')}/{table}"
-            if db == "default"
-            else f"{warehouse.rstrip('/')}/{db}.db/{table}"
-        )
+        location = managed_table_location(spark, table)
     fs, loc = hadoop_fs(spark, location)
     if fs.exists(loc):
         fs.delete(loc, True)
