@@ -113,6 +113,9 @@ HEADLINE = [
     # the store-then-serve twin: its timing INCLUDES writing the
     # bucketed postings/doclen catalog tables (store cost is the point)
     "bm25_served",
+    # append-vs-rebuild maintenance: build store from half the corpus,
+    # append the other half, serve — times the incremental index loop
+    "bm25_incremental",
     "host_hits",
     "anchor_text_profile",
     "bpe_merge_pairs",

@@ -204,6 +204,48 @@ def write_retrieval_tables(
     write_bucketed_table(dl, dl_table, "doc_id", n_buckets)
 
 
+def append_retrieval_tables(
+    tokens: DataFrame,
+    postings_table: str = "bm25_postings",
+    dl_table: str = "bm25_doclen",
+    n_buckets: int = 8,
+) -> None:
+    """Incremental index maintenance: append a NEWLY ADMITTED batch's
+    postings and doc lengths to an existing store — the indexing step
+    of the admit-only-novel ingestion loop (streaming/incremental.py),
+    where re-building the store per batch would re-scan the whole
+    corpus.
+
+    Correctness contract: the batch's doc_ids must be DISJOINT from
+    the store's (exactly what admit-only-novel ingestion guarantees).
+    Postings rows are per (term, doc_id) and both df and the corpus
+    scalars are derived at query time, so with disjoint doc sets
+    append == full rebuild VALUE-FOR-VALUE (gated by bm25_incremental
+    answering to the same DuckDB oracle as bm25_topk). The bucket spec
+    must match the store's; each append adds one file set per bucket
+    (compact periodically on a real deployment, as with any
+    bucketed/Iceberg table).
+
+    Cost: one batch-sized shuffle (the postings groupBy); the batch
+    postings frame is persisted across the two writes so the token
+    stream is read once."""
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_bucketed_table,
+    )
+
+    post = build_postings(tokens).persist()
+    try:
+        write_bucketed_table(
+            post, postings_table, "term", n_buckets, mode="append"
+        )
+        dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        write_bucketed_table(
+            dl, dl_table, "doc_id", n_buckets, mode="append"
+        )
+    finally:
+        post.unpersist()
+
+
 def _table_or_warehouse(spark, table: str) -> DataFrame:
     """Resolve a serving table: the catalog entry when this session
     knows it (the bucketed zero-Exchange path — on a cluster a shared

@@ -163,6 +163,7 @@ def write_bucketed_table(
     table: str,
     bucket_col: str,
     n_buckets: int = 32,
+    mode: str = "overwrite",
 ) -> None:
     """Spark-NATIVE bucketed table (``bucketBy(N, bucket_col)
     .sortBy(bucket_col)`` + ``saveAsTable``): unlike a partition-column
@@ -204,6 +205,33 @@ def write_bucketed_table(
             "write_bucketed_table requires an unqualified "
             f"lowercase table name, got {table!r}"
         )
+    if mode == "append":
+        # append rides the EXISTING table's bucket spec; the layout
+        # below is the one place the spec is encoded, so an append
+        # written here can never diverge from the store it extends.
+        # A missing catalog entry is an error, not a CREATE: with the
+        # default in-memory catalog a previous session's warehouse
+        # files outlive the entry, and CREATE-over-nonempty-location
+        # would throw (or, on an empty dir, silently fork a store
+        # holding only this batch) — re-index with a full write, or
+        # deploy with a shared metastore for cross-process appends.
+        if not spark.catalog.tableExists(table):
+            raise ValueError(
+                f"append requires an existing catalog table {table!r}; "
+                "this session's catalog does not know it (in-memory "
+                "catalogs do not persist across processes) — rebuild "
+                "the store with a full write or use a shared metastore"
+            )
+        (
+            df.write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(table)
+        )
+        return
+    if mode != "overwrite":
+        raise ValueError(f"unsupported mode {mode!r}")
     location = None
     if spark.catalog.tableExists(table):
         info = {

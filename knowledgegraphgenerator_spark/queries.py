@@ -1912,6 +1912,42 @@ def q_bm25_served(spark, sf_dir):
     )
 
 
+def q_bm25_incremental(spark, sf_dir):
+    """Incremental index maintenance: the store is BUILT from the
+    even-doc_id half of the corpus, the odd half is APPENDED as a
+    later admitted batch (operators/retrieval.append_retrieval_tables
+    — the indexing step of admit-only-novel ingestion), and the query
+    is served off the merged store. Answers to the SAME DuckDB oracle
+    as bm25_topk over the FULL corpus — append must equal rebuild
+    value-for-value."""
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        append_retrieval_tables,
+        bm25_topk_served,
+        write_retrieval_tables,
+    )
+
+    toks = _tokens(spark, sf_dir).select("doc_id", "term")
+    write_retrieval_tables(
+        toks.where(F.col("doc_id") % 2 == 0),
+        postings_table="bm25_inc_post_gate",
+        dl_table="bm25_inc_dl_gate",
+        n_buckets=8,
+    )
+    append_retrieval_tables(
+        toks.where(F.col("doc_id") % 2 != 0),
+        postings_table="bm25_inc_post_gate",
+        dl_table="bm25_inc_dl_gate",
+        n_buckets=8,
+    )
+    return bm25_topk_served(
+        spark,
+        _BM25_QUERY_TERMS,
+        k=20,
+        postings_table="bm25_inc_post_gate",
+        dl_table="bm25_inc_dl_gate",
+    )
+
+
 def q_bpe_merge_pairs(spark, sf_dir):
     """Tokenizer-training prep: the corpus-wide adjacent character-pair
     statistic that drives one BPE merge iteration (Sennrich et al.
@@ -2036,8 +2072,10 @@ def q_anchor_text_profile(spark, sf_dir):
 # NEW and take first-50 slots; stratified_sample, chunk_by_tokens,
 # doc_length_quantiles, and salted_term_stats (green driver rows
 # r03-r04) rotate to the tail; bm25_served (store-then-serve off
-# bucketed postings/doclen catalog tables) is NEW in a first-50 slot
-# and doc_path_coverage (green r02-r04) rotates to the tail.
+# bucketed postings/doclen catalog tables) and bm25_incremental
+# (append-vs-rebuild store maintenance) are NEW in first-50 slots and
+# doc_path_coverage / last_signup_propagation (green r02-r04) rotate
+# to the tail.
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2059,13 +2097,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap_salted": q_domain_cap_salted,
     "bm25_topk": q_bm25_topk,
     "bm25_served": q_bm25_served,
+    "bm25_incremental": q_bm25_incremental,
     "anchor_text_profile": q_anchor_text_profile,
     "host_hits": q_host_hits,
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "rake_keywords": q_rake_keywords,
     "term_cooccurrence": q_term_cooccurrence,
-    "last_signup_propagation": q_last_signup_propagation,
     "host_link_graph": q_host_link_graph,
     "hourly_event_counts": q_hourly_event_counts,
     "parts_rollup": q_parts_rollup,
@@ -2095,6 +2133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # queries with green driver rows in r02-r04; certified by
     # scripts/full_gate.py every round
     "doc_path_coverage": q_doc_path_coverage,
+    "last_signup_propagation": q_last_signup_propagation,
     "stratified_sample": q_stratified_sample,
     "chunk_by_tokens": q_chunk_by_tokens,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -2951,8 +2990,10 @@ ORACLES["bm25_topk"] = _bm25_oracle_sql(
     _TOKENS_SQL, _BM25_QUERY_TERMS, k=20
 )
 # store-then-serve must be lossless: the served query answers to the
-# SAME oracle as the from-tokens path
+# SAME oracle as the from-tokens path; likewise append-vs-rebuild —
+# the incrementally maintained store must answer identically
 ORACLES["bm25_served"] = ORACLES["bm25_topk"]
+ORACLES["bm25_incremental"] = ORACLES["bm25_topk"]
 
 ORACLES["bpe_merge_pairs"] = (
     f"WITH toks AS ({_TOKENS_SQL}), "

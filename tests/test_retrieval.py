@@ -159,6 +159,66 @@ def test_bm25_served_equals_plain_and_rides_buckets(spark):
     assert "In(term" in plan  # pushed to the parquet scan
 
 
+def test_append_retrieval_tables_equals_rebuild(spark):
+    """Incremental maintenance: building the store from half the
+    corpus and appending the (doc-disjoint) other half must serve
+    exactly what a full rebuild serves — postings, doc lengths, and
+    the BM25 answer; the appended store still resolves zero-Exchange
+    on the term key."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        append_retrieval_tables,
+        bm25_topk_served,
+        write_retrieval_tables,
+    )
+
+    toks = _tokens_df(spark)
+    write_retrieval_tables(
+        toks, "t_full_post", "t_full_dl", n_buckets=2
+    )
+    write_retrieval_tables(
+        toks.where(F.col("doc_id") != 3),
+        "t_inc_post", "t_inc_dl", n_buckets=2,
+    )
+    append_retrieval_tables(
+        toks.where(F.col("doc_id") == 3),
+        "t_inc_post", "t_inc_dl", n_buckets=2,
+    )
+    for a, b in (("t_full_post", "t_inc_post"), ("t_full_dl", "t_inc_dl")):
+        assert sorted(map(tuple, spark.table(a).collect())) == sorted(
+            map(tuple, spark.table(b).collect())
+        )
+    q = ("apple", "cherry")
+    full = [tuple(r) for r in bm25_topk_served(
+        spark, q, k=3, postings_table="t_full_post", dl_table="t_full_dl"
+    ).collect()]
+    inc = [tuple(r) for r in bm25_topk_served(
+        spark, q, k=3, postings_table="t_inc_post", dl_table="t_inc_dl"
+    ).collect()]
+    assert inc == full
+    dfq = (
+        spark.table("t_inc_post")
+        .where(F.col("term").isin(list(q)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    assert "Exchange" not in _plan(dfq)
+
+
+def test_append_requires_existing_store(spark):
+    """Appending to a store this session's catalog does not know must
+    fail loudly — never CREATE a fork holding only the batch."""
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        append_retrieval_tables,
+    )
+
+    with pytest.raises(ValueError, match="existing catalog table"):
+        append_retrieval_tables(
+            _tokens_df(spark), "t_no_such_store", "t_no_such_dl"
+        )
+
+
 def test_integer_hits_star_graph(spark):
     """Two pages linking one target: sources are pure hubs (split
     mass), the target is the sole authority — exact integer values."""
