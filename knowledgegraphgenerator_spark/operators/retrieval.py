@@ -217,14 +217,25 @@ def append_retrieval_tables(
     corpus.
 
     Correctness contract: the batch's doc_ids must be DISJOINT from
-    the store's (exactly what admit-only-novel ingestion guarantees).
-    Postings rows are per (term, doc_id) and both df and the corpus
-    scalars are derived at query time, so with disjoint doc sets
-    append == full rebuild VALUE-FOR-VALUE (gated by bm25_incremental
-    answering to the same DuckDB oracle as bm25_topk). The bucket spec
-    must match the store's; each append adds one file set per bucket
-    (compact periodically on a real deployment, as with any
-    bucketed/Iceberg table).
+    the store's (exactly what admit-only-novel ingestion guarantees;
+    a doc already present in the doc-length table is filtered out
+    here, so replaying a fully applied batch is a no-op rather than a
+    silent double-append). Postings rows are per (term, doc_id) and
+    both df and the corpus scalars are derived at query time, so with
+    disjoint doc sets append == full rebuild VALUE-FOR-VALUE (gated
+    by bm25_incremental answering to the same DuckDB oracle as
+    bm25_topk). The bucket spec must match the store's; each append
+    adds AT MOST one file per bucket per table (the batch is
+    repartitioned onto the bucket key), and
+    operators/triples.compact_bucketed_table rewrites an accumulated
+    store back to one file set per bucket.
+
+    Failure handling: the two appends are not one transaction on
+    parquet tables. On ANY append failure run
+    ``repair_retrieval_store`` (rebuilds doclen from postings) BEFORE
+    retrying the batch — the retry's guard then skips exactly the
+    committed part; see repair_retrieval_store for the crash-point
+    case analysis.
 
     Cost: one batch-sized shuffle (the postings groupBy); the batch
     postings frame is persisted across the two writes so the token
@@ -233,17 +244,74 @@ def append_retrieval_tables(
         write_bucketed_table,
     )
 
-    post = build_postings(tokens).persist()
+    spark = tokens.sparkSession
+    # idempotence guard: drop batch docs the doc-length table already
+    # holds. A doclen entry implies the doc's postings committed (the
+    # postings append precedes the doclen append below), so a FULL
+    # replay of an already-applied batch — the foreachBatch retry case
+    # — is a no-op instead of a silent double-append that would
+    # double-count tf and df. The probe is a batch-sized left_anti
+    # against the doc_id-bucketed table.
+    if spark.catalog.tableExists(dl_table):
+        seen = spark.table(dl_table).select("doc_id")
+        tokens = tokens.join(seen, "doc_id", "left_anti")
+    post = (
+        build_postings(tokens)
+        .repartition(n_buckets, F.col("term"))
+        .persist()
+    )
+    # repartition on each table's bucket key: the hash matches the
+    # bucket assignment, so every append adds AT MOST one file per
+    # bucket — without it each of the P shuffle tasks emits its own
+    # per-bucket files (P x N per micro-batch, the fragmentation
+    # compact_bucketed_table exists to undo)
     try:
         write_bucketed_table(
             post, postings_table, "term", n_buckets, mode="append"
         )
-        dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl = (
+            post.groupBy("doc_id")
+            .agg(F.sum("tf").alias("dl"))
+            .repartition(n_buckets, F.col("doc_id"))
+        )
         write_bucketed_table(
             dl, dl_table, "doc_id", n_buckets, mode="append"
         )
     finally:
         post.unpersist()
+
+
+def repair_retrieval_store(
+    spark,
+    postings_table: str = "bm25_postings",
+    dl_table: str = "bm25_doclen",
+    n_buckets: int = 8,
+) -> None:
+    """Restore append_retrieval_tables' two-table invariant after a
+    crash BETWEEN its postings and doclen appends (parquet tables give
+    no cross-table transaction; Iceberg would).
+
+    Doc lengths are a pure function of postings (dl == sum(tf) per
+    doc), so the repair REBUILDS the doclen table from the postings
+    table — postings-sized aggregation, no corpus scan. Run it before
+    retrying a failed append: the rebuilt doclen then contains every
+    doc whose postings committed, so the retry's idempotence guard
+    filters exactly the committed part and re-appends only what is
+    missing. Every crash point is covered: before the postings commit
+    (repair is a no-op, retry re-does the batch), between the appends
+    (repair adds the batch to doclen, retry is a no-op), after both
+    (retry is a no-op)."""
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_bucketed_table,
+    )
+
+    dl = (
+        spark.table(postings_table)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .repartition(n_buckets, F.col("doc_id"))
+    )
+    write_bucketed_table(dl, dl_table, "doc_id", n_buckets)
 
 
 def _table_or_warehouse(spark, table: str) -> DataFrame:

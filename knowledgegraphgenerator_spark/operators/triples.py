@@ -142,6 +142,90 @@ def write_triples_bucketed_table(
     write_bucketed_table(triples, table, "subj", n_buckets)
 
 
+def compact_bucketed_table(spark, table: str) -> None:
+    """Rewrite an append-accumulated bucketed table into one file set
+    per bucket — the maintenance step the append mode's docstring
+    promises ("compact periodically"). Each ``mode='append'`` write
+    adds a full file set per bucket; after many micro-batches the
+    per-bucket file count (and the per-task open/seek cost of every
+    bucket-riding join) grows linearly, so stores on an ingest cadence
+    compact on a slower cadence, exactly like Iceberg's rewrite-files
+    maintenance.
+
+    Production-shaped swap, not an in-place overwrite (Spark cannot
+    overwrite a table from a plan that reads the same table): write a
+    fresh bucketed table under ``<table>__compact``, then DROP the old
+    table and ALTER .. RENAME the new one into place. The bucket spec
+    travels with the catalog entry through the rename (pinned in
+    test_retrieval: the zero-Exchange bucket-key plan survives
+    compaction). The swap window is not atomic on the in-memory
+    catalog — run it inside the same maintenance lock that gates
+    appends (an ingest loop is sequential anyway); on Iceberg the
+    equivalent rewrite commits atomically."""
+    import re
+
+    if not re.fullmatch(r"[a-z_][a-z0-9_]*", table):
+        raise ValueError(
+            "compact_bucketed_table requires an unqualified "
+            f"lowercase table name, got {table!r}"
+        )
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"compact requires an existing catalog table {table!r}"
+        )
+    # the bucket spec comes from the CATALOG, never from arguments: a
+    # caller-supplied count that differs from the store's would make
+    # the rewrite FRAGMENT the table (old-bucket tasks x new buckets
+    # files) and leave a spec future appends reject. Same source of
+    # truth exposes the table type: an EXTERNAL table is refused for
+    # the same deletion-safety contract as the overwrite path — the
+    # swap would orphan the shared external location and serve a
+    # managed copy in its place.
+    info = {
+        row.col_name: row.data_type
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    if info.get("Type", "").upper() == "EXTERNAL":
+        raise ValueError(
+            f"refusing to compact EXTERNAL table {table!r}: the "
+            "drop-and-rename swap would orphan its shared location"
+        )
+    n_buckets = int(info["Num Buckets"])
+    cols = [
+        c.strip().strip("`")
+        for c in info["Bucket Columns"].strip("[]").split(",")
+    ]
+    if len(cols) != 1:
+        raise ValueError(
+            f"compact_bucketed_table supports single-column bucket "
+            f"specs, got {cols!r} for {table!r}"
+        )
+    bucket_col = cols[0]
+    tmp = f"{table}__compact"
+    # ZERO-shuffle rewrite, ONE file per bucket: force the BUCKETED
+    # scan for the read. The scan's bucket layout makes any explicit
+    # repartition on the bucket key "redundant" to the optimizer
+    # (scan outputPartitioning = HashPartitioning(bucket_col, N)), but
+    # AQE's autoBucketedScan then decides no join needs the layout and
+    # silently falls back to per-file scan partitions — each of which
+    # writes its own per-bucket file set, leaving the "compacted"
+    # store as fragmented as before (observed: 5 -> 5 files).
+    # Disabling autoBucketedScan for the rewrite keeps one scan task
+    # per bucket, so the write emits exactly one file per non-empty
+    # bucket with no exchange anywhere (observed: 8 -> 2 files).
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        write_bucketed_table(
+            spark.table(table), tmp, bucket_col, n_buckets
+        )
+    finally:
+        spark.conf.set(key, prev)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+
+
 def managed_table_location(spark, table: str) -> str:
     """The warehouse path a managed table named ``table`` lives at in
     the CURRENT database — the single place the layout rule

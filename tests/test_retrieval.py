@@ -206,6 +206,133 @@ def test_append_retrieval_tables_equals_rebuild(spark):
     assert "Exchange" not in _plan(dfq)
 
 
+def test_compact_bucketed_table_after_appends(spark):
+    """Compaction rewrites an append-accumulated store to one file set
+    per bucket: fewer files, identical values, and the zero-Exchange
+    bucket-key plan survives the drop-and-rename swap."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        append_retrieval_tables,
+        write_retrieval_tables,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        compact_bucketed_table,
+        managed_table_location,
+    )
+
+    toks = _tokens_df(spark)
+    write_retrieval_tables(
+        toks.where("doc_id = 1"), "t_cmp_post", "t_cmp_dl", n_buckets=2
+    )
+    for d in (2, 3):
+        append_retrieval_tables(
+            toks.where(f"doc_id = {d}"), "t_cmp_post", "t_cmp_dl",
+            n_buckets=2,
+        )
+    before = sorted(map(tuple, spark.table("t_cmp_post").collect()))
+    loc = managed_table_location(spark, "t_cmp_post").removeprefix("file:")
+    n_files_before = len(glob.glob(os.path.join(loc, "*.parquet")))
+    compact_bucketed_table(spark, "t_cmp_post")  # spec from catalog
+    loc2 = managed_table_location(spark, "t_cmp_post").removeprefix("file:")
+    n_files_after = len(glob.glob(os.path.join(loc2, "*.parquet")))
+    # pinned write partitions == bucket count -> at most one file per
+    # bucket; the pre-compaction store carries one file set per append
+    assert n_files_after <= 2 < n_files_before
+    assert sorted(map(tuple, spark.table("t_cmp_post").collect())) == before
+    dfq = (
+        spark.table("t_cmp_post")
+        .where(F.col("term").isin(["apple", "cherry"]))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    assert "Exchange" not in _plan(dfq)
+
+
+def test_append_replay_and_repair(spark):
+    """Replay safety: re-appending a fully applied batch is a no-op
+    (the doclen guard filters it); after a simulated crash between the
+    two appends, repair_retrieval_store rebuilds doclen from postings
+    and the retried batch is then also a no-op — never double-counted."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        append_retrieval_tables,
+        repair_retrieval_store,
+        write_retrieval_tables,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_bucketed_table,
+    )
+
+    toks = _tokens_df(spark)
+    write_retrieval_tables(
+        toks.where("doc_id = 1"), "t_rep_post", "t_rep_dl", n_buckets=2
+    )
+    batch = toks.where("doc_id = 2")
+    append_retrieval_tables(batch, "t_rep_post", "t_rep_dl", n_buckets=2)
+    snapshot = sorted(map(tuple, spark.table("t_rep_post").collect()))
+    # full replay of the applied batch -> no-op
+    append_retrieval_tables(batch, "t_rep_post", "t_rep_dl", n_buckets=2)
+    assert sorted(map(tuple, spark.table("t_rep_post").collect())) == snapshot
+    # crash between the appends: postings committed, doclen missing
+    crash = toks.where("doc_id = 3")
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        build_postings,
+    )
+
+    write_bucketed_table(
+        build_postings(crash), "t_rep_post", "term", 2, mode="append"
+    )
+    assert spark.table("t_rep_post").where("doc_id = 3").count() > 0
+    assert spark.table("t_rep_dl").where("doc_id = 3").count() == 0
+    repair_retrieval_store(spark, "t_rep_post", "t_rep_dl", n_buckets=2)
+    assert spark.table("t_rep_dl").where("doc_id = 3").count() == 1
+    after_repair = sorted(map(tuple, spark.table("t_rep_post").collect()))
+    # retry of the crashed batch -> no-op (guard sees repaired doclen)
+    append_retrieval_tables(crash, "t_rep_post", "t_rep_dl", n_buckets=2)
+    assert sorted(
+        map(tuple, spark.table("t_rep_post").collect())
+    ) == after_repair
+    # doclen stays consistent with postings everywhere
+    derived = sorted(map(tuple, (
+        spark.table("t_rep_post").groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl")).collect()
+    )))
+    assert sorted(map(tuple, spark.table("t_rep_dl").collect())) == derived
+
+
+def test_append_adds_at_most_one_file_per_bucket(spark):
+    """The batch repartitions onto the bucket key before each write,
+    so one append adds at most n_buckets files per table regardless of
+    shuffle partitioning."""
+    import glob
+    import os
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        append_retrieval_tables,
+        write_retrieval_tables,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        managed_table_location,
+    )
+
+    toks = _tokens_df(spark)
+    write_retrieval_tables(
+        toks.where("doc_id = 1"), "t_one_post", "t_one_dl", n_buckets=2
+    )
+    loc = managed_table_location(spark, "t_one_post").removeprefix("file:")
+    before = len(glob.glob(os.path.join(loc, "*.parquet")))
+    append_retrieval_tables(
+        toks.where("doc_id != 1"), "t_one_post", "t_one_dl", n_buckets=2
+    )
+    after = len(glob.glob(os.path.join(loc, "*.parquet")))
+    assert after - before <= 2
+
+
 def test_append_requires_existing_store(spark):
     """Appending to a store this session's catalog does not know must
     fail loudly — never CREATE a fork holding only the batch."""
