@@ -122,6 +122,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "contaminated documents (n-gram overlap >= 200 permille) "
              "from each batch BEFORE dedup/admit",
     )
+    ing.add_argument(
+        "--index", action="store_true",
+        help="also index each admitted batch into the bucketed BM25 "
+             "store (bm25_postings / bm25_doclen): crawl -> admit -> "
+             "index -> serve in one stream",
+    )
+    ing.add_argument("--index-buckets", type=int, default=8)
 
     ix = sub.add_parser(
         "index",
@@ -291,19 +298,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark, args.source, args.corpus, args.checkpoint,
                 store_dir=args.store,
                 benchmark_dir=args.benchmark,
+                index_tables=(
+                    ("bm25_postings", "bm25_doclen")
+                    if args.index else None
+                ),
+                index_buckets=args.index_buckets,
             )
         elif args.cmd == "index":
-            from pyspark.sql import functions as F
-
             from knowledgegraphgenerator_spark.operators.retrieval import (
+                tokenize_whitespace,
                 write_retrieval_tables,
             )
 
-            docs = spark.read.parquet(args.input)
-            tokens = docs.select(
-                "doc_id",
-                F.explode(F.split("text", " ")).alias("term"),
-            ).where(F.col("term") != "")
+            tokens = tokenize_whitespace(spark.read.parquet(args.input))
             write_retrieval_tables(
                 tokens,
                 postings_table=args.postings_table,

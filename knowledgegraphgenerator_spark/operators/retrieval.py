@@ -46,6 +46,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def tokenize_whitespace(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term) whitespace tokens — THE tokenization every
+    retrieval-store producer must share (the `index` CLI, the ingest
+    stream's --index path, ad-hoc bm25_topk callers): a store built by
+    one and appended by another diverges silently if they ever
+    tokenize differently, so the expression lives here once."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("term"),
+    ).where(F.col("term") != "")
+
+
 def doc_lengths(tokens: DataFrame) -> DataFrame:
     """(doc_id, dl) — token count per document; one combinable groupBy.
 
@@ -285,7 +299,6 @@ def repair_retrieval_store(
     spark,
     postings_table: str = "bm25_postings",
     dl_table: str = "bm25_doclen",
-    n_buckets: int = 8,
 ) -> None:
     """Restore append_retrieval_tables' two-table invariant after a
     crash BETWEEN its postings and doclen appends (parquet tables give
@@ -302,9 +315,14 @@ def repair_retrieval_store(
     (repair adds the batch to doclen, retry is a no-op), after both
     (retry is a no-op)."""
     from knowledgegraphgenerator_spark.operators.triples import (
+        table_bucket_spec,
         write_bucketed_table,
     )
 
+    # bucket count from the POSTINGS table's catalog spec — trusting a
+    # caller argument would let a mere flag mismatch rewrite doclen
+    # with a spec incoherent with the store it serves
+    _, n_buckets = table_bucket_spec(spark, postings_table)
     dl = (
         spark.table(postings_table)
         .groupBy("doc_id")

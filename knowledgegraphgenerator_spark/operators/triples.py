@@ -142,6 +142,49 @@ def write_triples_bucketed_table(
     write_bucketed_table(triples, table, "subj", n_buckets)
 
 
+def _managed_table_info(spark, table: str) -> dict:
+    """Validated catalog info for an unqualified managed-table name:
+    the shared preamble of every destructive table operation here
+    (overwrite, compact) — one place for the name rule and the
+    DESCRIBE EXTENDED fetch, so safety checks cannot drift apart."""
+    import re
+
+    if not re.fullmatch(r"[a-z_][a-z0-9_]*", table):
+        raise ValueError(
+            "bucketed-table operations require an unqualified "
+            f"lowercase table name, got {table!r}"
+        )
+    if not spark.catalog.tableExists(table):
+        return {}
+    return {
+        row.col_name: row.data_type
+        for row in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {table}"
+        ).collect()
+    }
+
+
+def table_bucket_spec(spark, table: str) -> tuple:
+    """(bucket_col, n_buckets) of an existing bucketed catalog table —
+    the catalog is the source of truth for maintenance operations
+    (compact, repair); trusting caller arguments instead lets a flag
+    mismatch rewrite a store with an incoherent spec."""
+    info = _managed_table_info(spark, table)
+    if not info:
+        raise ValueError(f"no catalog table {table!r}")
+    n_buckets = int(info["Num Buckets"])
+    cols = [
+        c.strip().strip("`")
+        for c in info["Bucket Columns"].strip("[]").split(",")
+    ]
+    if len(cols) != 1:
+        raise ValueError(
+            f"single-column bucket specs only, got {cols!r} "
+            f"for {table!r}"
+        )
+    return cols[0], n_buckets
+
+
 def compact_bucketed_table(spark, table: str) -> None:
     """Rewrite an append-accumulated bucketed table into one file set
     per bucket — the maintenance step the append mode's docstring
@@ -162,17 +205,6 @@ def compact_bucketed_table(spark, table: str) -> None:
     catalog — run it inside the same maintenance lock that gates
     appends (an ingest loop is sequential anyway); on Iceberg the
     equivalent rewrite commits atomically."""
-    import re
-
-    if not re.fullmatch(r"[a-z_][a-z0-9_]*", table):
-        raise ValueError(
-            "compact_bucketed_table requires an unqualified "
-            f"lowercase table name, got {table!r}"
-        )
-    if not spark.catalog.tableExists(table):
-        raise ValueError(
-            f"compact requires an existing catalog table {table!r}"
-        )
     # the bucket spec comes from the CATALOG, never from arguments: a
     # caller-supplied count that differs from the store's would make
     # the rewrite FRAGMENT the table (old-bucket tasks x new buckets
@@ -181,26 +213,17 @@ def compact_bucketed_table(spark, table: str) -> None:
     # the same deletion-safety contract as the overwrite path — the
     # swap would orphan the shared external location and serve a
     # managed copy in its place.
-    info = {
-        row.col_name: row.data_type
-        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
-    }
+    info = _managed_table_info(spark, table)
+    if not info:
+        raise ValueError(
+            f"compact requires an existing catalog table {table!r}"
+        )
     if info.get("Type", "").upper() == "EXTERNAL":
         raise ValueError(
             f"refusing to compact EXTERNAL table {table!r}: the "
             "drop-and-rename swap would orphan its shared location"
         )
-    n_buckets = int(info["Num Buckets"])
-    cols = [
-        c.strip().strip("`")
-        for c in info["Bucket Columns"].strip("[]").split(",")
-    ]
-    if len(cols) != 1:
-        raise ValueError(
-            f"compact_bucketed_table supports single-column bucket "
-            f"specs, got {cols!r} for {table!r}"
-        )
-    bucket_col = cols[0]
+    bucket_col, n_buckets = table_bucket_spec(spark, table)
     tmp = f"{table}__compact"
     # ZERO-shuffle rewrite, ONE file per bucket: force the BUCKETED
     # scan for the read. The scan's bucket layout makes any explicit
@@ -279,16 +302,10 @@ def write_bucketed_table(
     location is deleted. The warehouse-derived path (current-database
     aware) is only the fallback for the orphaned-directory case where
     no catalog entry exists to consult."""
-    import re
-
     from knowledgegraphgenerator_spark.plans.runner import hadoop_fs
 
     spark = df.sparkSession
-    if not re.fullmatch(r"[a-z_][a-z0-9_]*", table):
-        raise ValueError(
-            "write_bucketed_table requires an unqualified "
-            f"lowercase table name, got {table!r}"
-        )
+    info = _managed_table_info(spark, table)
     if mode == "append":
         # append rides the EXISTING table's bucket spec; the layout
         # below is the one place the spec is encoded, so an append
@@ -299,7 +316,7 @@ def write_bucketed_table(
         # would throw (or, on an empty dir, silently fork a store
         # holding only this batch) — re-index with a full write, or
         # deploy with a shared metastore for cross-process appends.
-        if not spark.catalog.tableExists(table):
+        if not info:
             raise ValueError(
                 f"append requires an existing catalog table {table!r}; "
                 "this session's catalog does not know it (in-memory "
@@ -317,13 +334,7 @@ def write_bucketed_table(
     if mode != "overwrite":
         raise ValueError(f"unsupported mode {mode!r}")
     location = None
-    if spark.catalog.tableExists(table):
-        info = {
-            row.col_name: row.data_type
-            for row in spark.sql(
-                f"DESCRIBE TABLE EXTENDED {table}"
-            ).collect()
-        }
+    if info:
         if info.get("Type", "").upper() == "EXTERNAL":
             raise ValueError(
                 f"refusing to overwrite EXTERNAL table {table!r}: its "

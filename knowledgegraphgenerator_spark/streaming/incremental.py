@@ -226,6 +226,8 @@ def incremental_ingest_dedup(
     store_dir: str | None = None,
     benchmark_dir: str | None = None,
     contamination_threshold_permille: int = 200,
+    index_tables: tuple[str, str] | None = None,
+    index_buckets: int = 8,
 ) -> None:
     """Streaming crawl ingestion that ADMITS ONLY NOVEL documents: each
     micro-batch is deduped (a) within itself in crawl order
@@ -282,6 +284,22 @@ def incremental_ingest_dedup(
     linking dictionary). Admit decisions are differential-equal to the
     sequential decontaminate → crawl_dedup → admit chain
     (test_runner_streaming).
+
+    ``index_tables`` = (postings_table, doclen_table): each admitted
+    batch is ALSO indexed into the bucketed BM25 retrieval store
+    (operators/retrieval.py) — the crawl → admit → index → serve loop
+    in one stream. The first batch creates the store; later batches
+    append (at most one file per bucket per batch). Replay safety
+    composes: the corpus write is exactly-once by partition overwrite,
+    and the index append's doc-length guard makes a replayed batch a
+    no-op; if an append fails mid-way the handler runs
+    repair_retrieval_store before re-raising, so the stream's
+    automatic retry is exactly-once at every crash point. Caveat: on
+    the default in-memory catalog the store's CATALOG ENTRY dies with
+    the process — a restarted stream fails loudly on the first append
+    (append requires an existing catalog table) rather than forking a
+    batch-only store; cross-restart streaming indexing needs a shared
+    metastore (or rebuild via the `index` CLI, then restart).
     """
     from knowledgegraphgenerator_spark.operators.dedup import (
         admit_batch,
@@ -387,27 +405,100 @@ def incremental_ingest_dedup(
                 batch, old.select("doc_id", "text"), "text", "doc_id",
                 max_bucket=max_bucket,
             )
-        if store_dir is None:
+        def _index(rows) -> None:
+            """Index the admitted survivors into the retrieval store:
+            create on the first batch, append after; on a mid-append
+            failure run the repair then re-raise so the stream's
+            automatic retry is exactly-once (see docstring)."""
+            if index_tables is None:
+                return
+            from knowledgegraphgenerator_spark.operators.retrieval import (  # noqa: E501
+                append_retrieval_tables,
+                repair_retrieval_store,
+                write_retrieval_tables,
+            )
+
+            from knowledgegraphgenerator_spark.operators.retrieval import (  # noqa: E501
+                tokenize_whitespace,
+            )
+            from knowledgegraphgenerator_spark.operators.triples import (  # noqa: E501
+                managed_table_location,
+            )
+            from knowledgegraphgenerator_spark.plans.runner import (
+                hadoop_fs,
+            )
+
+            post_t, dl_t = index_tables
+            toks = tokenize_whitespace(rows)
+            have = [
+                t for t in (post_t, dl_t)
+                if spark.catalog.tableExists(t)
+            ]
+            if len(have) < 2:
+                # CREATE path — taken for a brand-new store AND for
+                # the in-process retry of a crash between the two
+                # creates (overwrite makes the re-create idempotent).
+                # But a table the CATALOG does not know whose
+                # warehouse DIRECTORY exists is an orphaned store
+                # from a previous process (in-memory catalogs die
+                # with the process): overwriting it would silently
+                # drop every pre-restart document from serving while
+                # dedup still refuses to readmit them. Fail loudly —
+                # rebuild via the `index` CLI or use a shared
+                # metastore (docstring).
+                for t in (post_t, dl_t):
+                    if t in have:
+                        continue
+                    fs, loc = hadoop_fs(
+                        spark, managed_table_location(spark, t)
+                    )
+                    if fs.exists(loc) and not have:
+                        raise ValueError(
+                            f"retrieval table {t!r} has warehouse "
+                            "data but no catalog entry — an orphaned "
+                            "store from a previous process; rebuild "
+                            "it (index CLI) or run with a shared "
+                            "metastore instead of silently forking a "
+                            "batch-only store"
+                        )
+                write_retrieval_tables(
+                    toks, post_t, dl_t, n_buckets=index_buckets
+                )
+                return
+            try:
+                append_retrieval_tables(
+                    toks, post_t, dl_t, n_buckets=index_buckets
+                )
+            except Exception:
+                repair_retrieval_store(spark, post_t, dl_t)
+                raise
+
+        if store_dir is None and index_tables is None:
             (
                 batch.write.mode("overwrite")
                 .parquet(f"{corpus_dir}/batch_id={batch_id}")
             )
             return
-        # survivors feed three writes (corpus + 2 store frames):
-        # persist once so the admit join chain runs once, not thrice
+        # survivors feed several writes (corpus, optional 2 store
+        # frames, optional 2 index tables): persist once so the admit
+        # join chain runs once, not per consumer
         batch = batch.persist()
         try:
             (
                 batch.write.mode("overwrite")
                 .parquet(f"{corpus_dir}/batch_id={batch_id}")
             )
-            sh, bands = batch_signature_parts(batch, "text", "doc_id")
-            sh.write.mode("overwrite").parquet(
-                f"{store_dir}/shingles/batch_id={batch_id}"
-            )
-            bands.write.mode("overwrite").parquet(
-                f"{store_dir}/bands/batch_id={batch_id}"
-            )
+            if store_dir is not None:
+                sh, bands = batch_signature_parts(
+                    batch, "text", "doc_id"
+                )
+                sh.write.mode("overwrite").parquet(
+                    f"{store_dir}/shingles/batch_id={batch_id}"
+                )
+                bands.write.mode("overwrite").parquet(
+                    f"{store_dir}/bands/batch_id={batch_id}"
+                )
+            _index(batch)
         finally:
             batch.unpersist()
 

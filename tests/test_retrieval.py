@@ -289,7 +289,7 @@ def test_append_replay_and_repair(spark):
     )
     assert spark.table("t_rep_post").where("doc_id = 3").count() > 0
     assert spark.table("t_rep_dl").where("doc_id = 3").count() == 0
-    repair_retrieval_store(spark, "t_rep_post", "t_rep_dl", n_buckets=2)
+    repair_retrieval_store(spark, "t_rep_post", "t_rep_dl")
     assert spark.table("t_rep_dl").where("doc_id = 3").count() == 1
     after_repair = sorted(map(tuple, spark.table("t_rep_post").collect()))
     # retry of the crashed batch -> no-op (guard sees repaired doclen)

@@ -793,3 +793,131 @@ def test_incremental_ingest_dedup_benchmark(spark, tmp_path):
         ).collect()
     }
     assert admitted2 == expect2 == {2, 4, 13}
+
+
+def test_incremental_ingest_with_index(spark, tmp_path):
+    """crawl -> admit -> index -> serve in one stream: after two file
+    drops, the bucketed retrieval store holds exactly the postings of
+    the admitted corpus (first batch creates, second appends), and a
+    BM25 query served off the store equals the from-tokens answer over
+    the admitted corpus."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_served,
+        build_postings,
+    )
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"https://x/{i}",
+                 "2026-01-01 00:00:00", None, t, "en")
+                for i, t in rows
+            ],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    tables = ("t_ing_post", "t_ing_dl")
+    # a PREVIOUS test process may have left warehouse data without a
+    # catalog entry — exactly the orphaned-store case the stream
+    # refuses (by design); clear it like the documented operator
+    # action (rebuild/remove) so this run starts from a clean store
+    import shutil
+
+    from knowledgegraphgenerator_spark.operators.triples import (
+        managed_table_location,
+    )
+
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            managed_table_location(spark, t).removeprefix("file:"),
+            ignore_errors=True,
+        )
+
+    pages([(1, base), (2, base), (4, other)]).write.mode(
+        "overwrite"
+    ).parquet(src)
+    incremental_ingest_dedup(
+        spark, src, corpus, ckpt, index_tables=tables, index_buckets=2
+    )
+    pages(
+        [(10, base), (12, "totally novel document text here"),
+         (14, other + " twelve")]
+    ).write.mode("append").parquet(src)
+    incremental_ingest_dedup(
+        spark, src, corpus, ckpt, index_tables=tables, index_buckets=2
+    )
+
+    admitted = spark.read.parquet(corpus)
+    toks = admitted.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    expect_post = sorted(map(tuple, build_postings(toks).collect()))
+    got_post = sorted(map(tuple, spark.table("t_ing_post").collect()))
+    assert got_post == expect_post and len(got_post) > 0
+
+    q = ("alpha", "novel", "one")
+    served = sorted(map(tuple, bm25_topk_served(
+        spark, q, k=5, postings_table="t_ing_post", dl_table="t_ing_dl"
+    ).collect()))
+    plain = sorted(map(tuple, bm25_topk(toks, q, k=5).collect()))
+    assert served == plain and len(served) > 0
+
+
+def test_incremental_ingest_index_refuses_orphaned_store(
+    spark, tmp_path
+):
+    """Warehouse data without a catalog entry (the in-memory-catalog
+    restart case) must fail the stream loudly instead of silently
+    forking a batch-only store that drops every pre-restart document
+    from serving."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from knowledgegraphgenerator_spark.operators.triples import (
+        managed_table_location,
+    )
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    tables = ("t_orp_post", "t_orp_dl")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    loc = managed_table_location(spark, "t_orp_post").removeprefix("file:")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "leftover.parquet"), "w") as f:
+        f.write("x")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "https://x/1", "2026-01-01 00:00:00", None,
+              "some document text", "en")],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        src = str(tmp_path / "src")
+        docs.write.parquet(src)
+        with pytest.raises(Exception, match="orphaned store"):
+            incremental_ingest_dedup(
+                spark, src, str(tmp_path / "corpus"),
+                str(tmp_path / "ckpt"), index_tables=tables,
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
