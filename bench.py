@@ -119,6 +119,13 @@ HEADLINE = [
     "host_hits",
     "anchor_text_profile",
     "bpe_merge_pairs",
+    # post-round-5: CCNet bigram-LM quality scoring (one bigram-key
+    # shuffle join), RefinedWeb in-doc line dedup (zero-shuffle narrow
+    # map), and HITS served off the bucketBy(src) edge store (timing
+    # includes writing the store, like bm25_served)
+    "lm_doc_score",
+    "line_dedup",
+    "host_hits_served",
     "pricing_summary",
     "top_orders_per_cust",
     "sessionize",

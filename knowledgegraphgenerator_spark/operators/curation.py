@@ -742,3 +742,122 @@ def crawl_delta(
         "old_hash",
         "new_hash",
     )
+
+
+def lm_doc_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document by its negative log-likelihood under a
+    corpus-trained bigram LM with add-one smoothing, the
+    perplexity-bucket signal CCNet uses to split a crawl into
+    head/middle/tail quality tiers. Self-supervised — the LM is trained
+    on the corpus being scored, so there is no external model artifact
+    (KenLM stands outside this sandbox; the bigram LM is the
+    SQL-expressible member of the same family).
+
+    Model: p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V), where c2 is the
+    corpus bigram count, c1(w1) the count of w1 as a bigram CONTEXT
+    (i.e. occurrences not in document-final position, == sum of c2 over
+    w2), and V the corpus unigram vocabulary size. Per bigram TYPE the
+    negative log-likelihood is rounded ONCE to integer 1e-4 nats
+    (round(ln((c1 + V) / (c2 + 1.0)) * 10000)) and multiplied by the
+    document's term frequency — the per-document sum is then an
+    order-free exact integer, the same cross-engine trick as BM25
+    (operators/retrieval.py module docstring). avg_nll_i4 uses
+    nonnegative integer division (both engines floor it identically);
+    perplexity = exp(avg_nll_i4 / 1e4) if a float is ever wanted.
+
+    Output: (id_col, n_pairs, nll_i4, avg_nll_i4), one row per document
+    with >= 2 tokens (a document with no bigram has no likelihood under
+    a bigram model; callers treat absence as unscorable).
+
+    Scale shape: bigram pairs come from zip-sliced split arrays — a
+    NARROW projection, no self-join and no per-doc window, so the token
+    stream is never shuffled on doc_id. Three aggregations follow
+    ((doc, w1, w2) tf; (w1, w2) corpus counts; vocabulary scalar), all
+    with map-side partial agg, then one equi-join of doc-bigram tf
+    against corpus bigram counts on the (w1, w2) key — AQE handles hot
+    bigrams ("of the") via skew-join splitting; the context-count
+    frame c1 is vocabulary-sized and broadcast. Nothing here is
+    quadratic and nothing materializes per-position state.
+    """
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+    with_t = df.select(F.col(id_col), toks.alias("t"))
+    # vocabulary scalar (one small agg; config-sized driver value)
+    v_row = (
+        with_t.select(F.explode("t").alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+        .collect()[0]
+    )
+    vocab = int(v_row["v"] or 0)
+    pairs = with_t.where(F.size("t") >= 2).select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ptf = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    c2 = ptf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    nll = F.expr(
+        f"CAST(round(ln((c1 + {vocab}) / (c2 + 1.0)) * 10000) AS BIGINT)"
+    )
+    return (
+        ptf.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_pairs"),
+            F.sum(F.col("tf") * nll).cast("long").alias("nll_i4"),
+        )
+        .select(
+            id_col,
+            "n_pairs",
+            "nll_i4",
+            F.expr("nll_i4 div n_pairs").cast("long").alias("avg_nll_i4"),
+        )
+    )
+
+
+def drop_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """RefinedWeb-style line-wise correction (Penedo et al. 2023 §3.3,
+    "The RefinedWeb Dataset for Falcon LLM"): within each document,
+    remove every repeated occurrence of an exact line, keeping the
+    first — the in-document counterpart of cross-document span removal
+    (remove_duplicate_spans), aimed at nav bars / cookie banners /
+    footer text that repeat inside one page. Lines are compared EXACTLY
+    (no trimming), empty lines included — so at most one empty line
+    survives, which also collapses blank-line runs.
+
+    Output: the input row with ``text_col`` rewritten plus ``n_dropped``
+    (lines removed). ``array_distinct`` preserves first-occurrence
+    order; the DuckDB oracle mirrors it with min(pos) grouping +
+    ordered string_agg.
+
+    Scale shape: a NARROW per-row map over the split array — zero
+    shuffles, zero explodes, pipelines into the scan like scrub_pii.
+    ``sep`` is a LITERAL separator (regex-escaped before F.split).
+    """
+    import re as _re
+
+    lines = F.split(F.col(text_col), _re.escape(sep), -1)
+    kept = F.array_distinct(lines)
+    return df.withColumn(
+        "n_dropped", (F.size(lines) - F.size(kept)).cast("long")
+    ).withColumn(text_col, F.array_join(kept, sep))

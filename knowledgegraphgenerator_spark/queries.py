@@ -1948,6 +1948,97 @@ def q_bm25_incremental(spark, sf_dir):
     )
 
 
+def q_lm_doc_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (curation.lm_doc_score): every
+    document scored by integer-exact negative log-likelihood under a
+    corpus-trained add-one bigram LM — the perplexity-bucket signal
+    that splits a crawl into head/middle/tail quality tiers (Wenzek et
+    al. 2020). Self-supervised: no external model artifact. Per-bigram
+    nll rounded ONCE to 1e-4 nats then summed as integers, so the
+    cross-engine hash is exact (the BM25 trick)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        lm_doc_score,
+    )
+
+    return lm_doc_score(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+# RefinedWeb line-dedup seeds: the synthetic documents are single-line,
+# so the corpus is unioned with deterministic multi-line documents
+# (mirrored as VALUES in the DuckDB oracle — the docs_at_root seeding
+# pattern) so the gate has discriminating non-zero n_dropped rows at
+# every sf.
+LINE_DEDUP_SEEDS = [
+    (
+        900000001,
+        "cookie notice\nreal paragraph one\ncookie notice"
+        "\nreal paragraph two\ncookie notice",
+    ),
+    (900000002, "a\n\n\nb\n\na"),
+    (900000003, "no repeats here"),
+]
+
+
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb-style in-document line dedup
+    (curation.drop_repeated_lines): repeated exact lines removed
+    keeping the first — nav bars / cookie banners / footers inside one
+    page. Narrow zero-shuffle map; corpus unioned with
+    LINE_DEDUP_SEEDS for discriminating output (see constant)."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        drop_repeated_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = spark.createDataFrame(
+        LINE_DEDUP_SEEDS, "doc_id long, text string"
+    )
+    return drop_repeated_lines(docs.unionByName(seeds))
+
+
+def q_host_hits_served(spark, sf_dir):
+    """Store-then-serve for HITS (the host_hits twin of
+    kg_pagerank_served): the extracted host link graph is MATERIALIZED
+    as a bucketBy(8, src) catalog table
+    (operators/triples.write_bucketed_table) and integer HITS runs off
+    the STORED edges with ``assume_distinct=True`` / ``persist=False``
+    so the defensive dedup / persist cannot repartition away the
+    bucket layout the hub-side joins ride. Gated against the SAME
+    unrolled-CTE oracle as host_hits: serving off the store must be
+    bit-identical, which also certifies the stored edge projection is
+    distinct."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        integer_hits,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_bucketed_table,
+    )
+    from knowledgegraphgenerator_spark.operators.webgraph import (
+        extract_links,
+        host_link_graph,
+    )
+
+    g = host_link_graph(
+        extract_links(_host_pages(spark, sf_dir), "html", "url")
+    )
+    write_bucketed_table(
+        g.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        ),
+        "host_edges_hits_gate",
+        "src",
+        n_buckets=8,
+    )
+    return integer_hits(
+        spark.table("host_edges_hits_gate"),
+        n_iters=2,
+        assume_distinct=True,
+        persist=False,
+    )
+
+
 def q_bpe_merge_pairs(spark, sf_dir):
     """Tokenizer-training prep: the corpus-wide adjacent character-pair
     statistic that drives one BPE merge iteration (Sennrich et al.
@@ -2075,13 +2166,18 @@ def q_anchor_text_profile(spark, sf_dir):
 # bucketed postings/doclen catalog tables) and bm25_incremental
 # (append-vs-rebuild store maintenance) are NEW in first-50 slots and
 # doc_path_coverage / last_signup_propagation (green r02-r04) rotate
-# to the tail.
+# to the tail. Post-round-5 additions: lm_doc_score (CCNet bigram-LM
+# quality scoring), line_dedup (RefinedWeb in-doc line dedup), and
+# host_hits_served (HITS off the bucketed edge store) are NEW and take
+# first-50 slots; term_count_threshold, bigram_count, and
+# substring_dedup (green driver rows in EVERY round r01-r04) rotate to
+# the tail.
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "term_count_threshold": q_term_count_threshold,
-    "bigram_count": q_bigram_count,
-    "substring_dedup": q_substring_dedup,
+    "lm_doc_score": q_lm_doc_score,
+    "line_dedup": q_line_dedup,
+    "host_hits_served": q_host_hits_served,
     "doc_terms_ranked": q_doc_terms_ranked,
     "path_edges": q_path_edges,
     "host_pagerank": q_host_pagerank,
@@ -2156,6 +2252,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "sessionize": q_sessionize,
     "path_prefix_antijoin": q_path_prefix_antijoin,
+    "term_count_threshold": q_term_count_threshold,
+    "bigram_count": q_bigram_count,
+    "substring_dedup": q_substring_dedup,
 }
 
 # Bench-only callables (timed by bench.py, not driver-gated): the raw
@@ -2994,6 +3093,70 @@ ORACLES["bm25_topk"] = _bm25_oracle_sql(
 # the incrementally maintained store must answer identically
 ORACLES["bm25_served"] = ORACLES["bm25_topk"]
 ORACLES["bm25_incremental"] = ORACLES["bm25_topk"]
+
+# serving HITS off the bucketed edge store must be bit-identical to the
+# in-memory path
+ORACLES["host_hits_served"] = _host_hits_oracle_sql()
+
+# CCNet bigram-LM scoring: identical add-one model, identical one-round
+# 1e-4-nat integerization per bigram TYPE, identical floor division
+ORACLES["lm_doc_score"] = (
+    "WITH fl AS (SELECT doc_id,"
+    " list_filter(string_split(text, ' '), x -> x <> '') AS t"
+    " FROM documents), "
+    "v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v"
+    " FROM (SELECT unnest(t) AS term FROM fl)), "
+    "pairs AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,"
+    " unnest(t[2:len(t)]) AS w2 FROM fl WHERE len(t) >= 2), "
+    "ptf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf"
+    " FROM pairs GROUP BY doc_id, w1, w2), "
+    "c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM ptf"
+    " GROUP BY w1, w2), "
+    "c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2"
+    " GROUP BY w1), "
+    "s AS (SELECT ptf.doc_id, ptf.tf,"
+    " CAST(round(ln((c1.c1 + v.v) / (c2.c2 + 1.0)) * 10000) AS BIGINT)"
+    " AS nll"
+    " FROM ptf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v) "
+    "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_pairs,"
+    " CAST(sum(tf * nll) AS BIGINT) AS nll_i4,"
+    " CAST(sum(tf * nll) // sum(tf) AS BIGINT) AS avg_nll_i4"
+    " FROM s GROUP BY doc_id"
+)
+
+
+def _line_dedup_seed_values() -> str:
+    """LINE_DEDUP_SEEDS as DuckDB VALUES, newlines as chr(10)."""
+    rows = []
+    for doc_id, text in LINE_DEDUP_SEEDS:
+        lit = " || chr(10) || ".join(
+            "'" + p.replace("'", "''") + "'" for p in text.split("\n")
+        )
+        rows.append(f"(CAST({doc_id} AS BIGINT), {lit})")
+    return ", ".join(rows)
+
+
+# order-preserving distinct of lines: min(pos) grouping + ordered
+# string_agg mirrors Spark array_distinct's first-occurrence order
+ORACLES["line_dedup"] = (
+    "WITH d AS (SELECT doc_id, text FROM documents UNION ALL"
+    f" SELECT * FROM (VALUES {_line_dedup_seed_values()})"
+    " AS seeds(doc_id, text)), "
+    "l AS (SELECT doc_id,"
+    " unnest(string_split(text, chr(10))) AS line,"
+    " unnest(generate_series(1, len(string_split(text, chr(10)))))"
+    " AS pos FROM d), "
+    "f AS (SELECT doc_id, line, min(pos) AS fp FROM l"
+    " GROUP BY doc_id, line), "
+    "agg AS (SELECT doc_id,"
+    " string_agg(line, chr(10) ORDER BY fp) AS text,"
+    " CAST(count(*) AS BIGINT) AS n_kept FROM f GROUP BY doc_id), "
+    "tot AS (SELECT doc_id,"
+    " CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines"
+    " FROM d) "
+    "SELECT doc_id, agg.text AS text, (n_lines - n_kept) AS n_dropped"
+    " FROM agg JOIN tot USING (doc_id)"
+)
 
 ORACLES["bpe_merge_pairs"] = (
     f"WITH toks AS ({_TOKENS_SQL}), "

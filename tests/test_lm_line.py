@@ -1,0 +1,126 @@
+"""lm_doc_score (CCNet-style bigram-LM quality scoring) and
+drop_repeated_lines (RefinedWeb line-wise correction) — exact-value
+tests against pure-Python references."""
+
+from __future__ import annotations
+
+import math
+
+from knowledgegraphgenerator_spark.operators.curation import (
+    drop_repeated_lines,
+    lm_doc_score,
+)
+
+
+def _py_lm_scores(docs: dict[int, str]) -> dict[int, tuple[int, int, int]]:
+    """Plain-Python bigram LM with add-one smoothing, integer 1e-4
+    nats rounded once per bigram TYPE — the operator's contract."""
+    toks = {d: [t for t in s.split(" ") if t] for d, s in docs.items()}
+    vocab = len({t for ts in toks.values() for t in ts})
+    c2: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+    out: dict[int, tuple[int, int, int]] = {}
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        total = 0
+        for a, b in zip(ts, ts[1:]):
+            nll = round(
+                math.log((c1[a] + vocab) / (c2[(a, b)] + 1.0)) * 10000
+            )
+            total += nll
+        n_pairs = len(ts) - 1
+        out[d] = (n_pairs, total, total // n_pairs)
+    return out
+
+
+def test_lm_doc_score_matches_python_reference(spark):
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the cat",
+        3: "dog",  # single token: no bigram, unscorable
+        4: "the the the the",
+        5: "mat on sat cat the",  # reversed-ish: rare bigrams
+        6: "",  # empty: excluded
+    }
+    df = spark.createDataFrame(
+        [(d, s) for d, s in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["nll_i4"], r["avg_nll_i4"])
+        for r in lm_doc_score(df).collect()
+    }
+    assert got == _py_lm_scores(docs)
+    # common-bigram doc scores BETTER (lower nll) than the rare one
+    assert got[1][2] < got[5][2]
+
+
+def test_lm_doc_score_double_spaces_do_not_split_pairs(spark):
+    # empty tokens are filtered BEFORE pairing: 'a  b' still forms (a,b)
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["n_pairs"] for r in lm_doc_score(df).collect()}
+    assert rows == {1: 1, 2: 1}
+
+
+def test_drop_repeated_lines_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nbody two\nnav"),
+            (2, "a\n\n\nb\n\na"),  # blank-line runs collapse to one
+            (3, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped"])
+        for r in drop_repeated_lines(df).collect()
+    }
+    assert got[1] == ("nav\nbody one\nbody two", 2)
+    assert got[2] == ("a\n\nb", 3)
+    assert got[3] == ("unique", 0)
+
+
+def test_drop_repeated_lines_literal_separator(spark):
+    # '.' must be treated literally, not as a regex wildcard
+    df = spark.createDataFrame(
+        [(1, "x.y.x.z")], "doc_id long, text string"
+    )
+    r = drop_repeated_lines(df, sep=".").collect()[0]
+    assert (r["text"], r["n_dropped"]) == ("x.y.z", 1)
+
+
+def test_lm_line_plan_shapes(spark):
+    """Scale-shape pins: drop_repeated_lines is a zero-shuffle narrow
+    map; lm_doc_score never shuffles the token stream on doc_id and
+    never plans a Window (the bigram pairing is zip-sliced arrays, not
+    a lag window)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c a b \nx\nx\ny"), F.col("id").cast("string"))
+        .alias("text"),
+    )
+    plan = (
+        drop_repeated_lines(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+    plan2 = (
+        lm_doc_score(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan2, plan2
+    # every non-broadcast Exchange is an aggregation/join on term keys
+    # or the final doc_id rollup of the tiny scored frame — none of
+    # them re-partitions the raw token stream by position
+    assert "posexplode" not in plan2.lower()
