@@ -25,6 +25,10 @@ plus the web-corpus subcommand.
   python -m knowledgegraphgenerator_spark search \\
       --terms spark,window --k 20 [--output /path/hits]
 
+  python -m knowledgegraphgenerator_spark curate \\
+      --input /path/web_pages_parquet --output /path/cleaned \\
+      [--line-dedup] [--pii] [--lm-score] [--max-avg-nll 40000]
+
 For cluster runs: zip the package (scripts/package.sh) and
 ``spark-submit --py-files kg_spark.zip run_kg.py ...`` — the module only
 uses SparkSession.builder, no local-mode assumptions.
@@ -154,7 +158,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="write results parquet; default prints one "
                          "JSON line per hit")
 
-    for p in (faq, corpus, an, syn, dd, st, ing, ix, se):
+    cu = sub.add_parser(
+        "curate",
+        help="crawl-text curation chain: in-doc line dedup → PII "
+             "scrub → bigram-LM quality scoring/filter — cleaned "
+             "corpus parquet ready for `corpus`/`ingest`",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument(
+        "--line-dedup", action="store_true",
+        help="remove repeated exact lines within each document "
+             "(RefinedWeb line-wise correction)",
+    )
+    cu.add_argument(
+        "--pii", action="store_true",
+        help="redact emails/IPv4s/phones in place",
+    )
+    cu.add_argument(
+        "--lm-score", action="store_true",
+        help="attach n_pairs/nll_i4/avg_nll_i4 from a corpus-trained "
+             "add-one bigram LM (CCNet-style), scored AFTER the text "
+             "rewrites",
+    )
+    cu.add_argument(
+        "--max-avg-nll", type=int, default=None,
+        help="drop documents whose avg_nll_i4 exceeds this bound "
+             "(integer 1e-4 nats; implies --lm-score); docs too short "
+             "to score (<2 tokens) are dropped too",
+    )
+
+    for p in (faq, corpus, an, syn, dd, st, ing, ix, se, cu):
         p.add_argument("--v", action="store_true", help="verbose")
 
     args = ap.parse_args(argv)
@@ -335,6 +369,43 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             else:
                 for r in hits.collect():
                     print(json.dumps(r.asDict()))
+        elif args.cmd == "curate":
+            # fixed order: layout corrections first (line dedup), then
+            # text rewrites (PII), then LM scoring over the FINAL text
+            # — the model must be trained on what ships
+            from pyspark.sql import functions as F
+
+            from knowledgegraphgenerator_spark.operators.curation import (
+                drop_repeated_lines,
+                lm_doc_score,
+                scrub_pii,
+            )
+
+            df = spark.read.parquet(args.input)
+            if args.line_dedup:
+                df = drop_repeated_lines(df).drop("n_dropped")
+            if args.pii:
+                df = (
+                    scrub_pii(df)
+                    .drop("text", "n_emails", "n_ips", "n_phones")
+                    .withColumnRenamed("scrubbed", "text")
+                )
+            if args.lm_score or args.max_avg_nll is not None:
+                # curation chains re-read df several times upstream of
+                # the LM's corpus-wide aggregations — persist the
+                # rewritten text once so the scan doesn't re-run per job
+                df = df.persist()
+                scores = lm_doc_score(df)
+                if args.max_avg_nll is not None:
+                    scores = scores.where(
+                        F.col("avg_nll_i4") <= args.max_avg_nll
+                    )
+                    df = df.join(scores, "doc_id")
+                else:
+                    df = df.join(scores, "doc_id", "left")
+            df.write.mode("overwrite").parquet(args.output)
+            if args.v:
+                print(f"curated corpus -> {args.output}")
         elif args.cmd == "synonyms":
             from knowledgegraphgenerator_spark.operators.word2vec import (
                 synonym_generation_master,
