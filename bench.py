@@ -124,6 +124,7 @@ HEADLINE = [
     # map), and HITS served off the bucketBy(src) edge store (timing
     # includes writing the store, like bm25_served)
     "lm_doc_score",
+    "lm_heldout_score",
     "line_dedup",
     "host_hits_served",
     "pricing_summary",

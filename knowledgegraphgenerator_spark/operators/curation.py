@@ -748,6 +748,7 @@ def lm_doc_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
@@ -775,6 +776,17 @@ def lm_doc_score(
     with >= 2 tokens (a document with no bigram has no likelihood under
     a bigram model; callers treat absence as unscorable).
 
+    ``train``: when given, counts and vocabulary come from the TRAIN
+    frame and ``df`` is the held-out set being scored — the
+    train/validation regime (CCNet trains on Wikipedia, scores the
+    crawl). Unseen events are exactly what add-one smoothing prices:
+    an unseen bigram under a seen context costs ln((c1 + V) / 1), an
+    out-of-vocabulary context the uniform ln(V) — both ride the same
+    rounded-once integer expression via left joins + coalesce(0), so
+    held-out scoring stays hash-exact cross-engine. An empty/tokenless
+    train frame (V = 0) has no model: every document is unscorable and
+    the result is empty.
+
     Scale shape: bigram pairs come from zip-sliced split arrays — a
     NARROW projection, no self-join and no per-doc window, so the token
     stream is never shuffled on doc_id. Three aggregations follow
@@ -786,37 +798,71 @@ def lm_doc_score(
     quadratic and nothing materializes per-position state.
     """
     spark = df.sparkSession
-    toks = F.filter(
-        F.split(F.col(text_col), " "), lambda x: x != ""
-    )
-    with_t = df.select(F.col(id_col), toks.alias("t"))
+
+    def _with_tokens(frame: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.col(text_col), " "), lambda x: x != ""
+        )
+        return frame.select(F.col(id_col), toks.alias("t"))
+
+    def _pairs(with_t: DataFrame) -> DataFrame:
+        return with_t.where(F.size("t") >= 2).select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p"),
+        ).select(
+            id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    score_t = _with_tokens(df)
+    train_t = score_t if train is None else _with_tokens(train)
     # vocabulary scalar (one small agg; config-sized driver value)
     v_row = (
-        with_t.select(F.explode("t").alias("term"))
+        train_t.select(F.explode("t").alias("term"))
         .agg(F.countDistinct("term").alias("v"))
         .collect()[0]
     )
     vocab = int(v_row["v"] or 0)
-    pairs = with_t.where(F.size("t") >= 2).select(
-        id_col,
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
-                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
-            )
-        ).alias("p"),
-    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    ptf = pairs.groupBy(id_col, "w1", "w2").agg(
+    ptf = _pairs(score_t).groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    c2 = ptf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    if vocab == 0:
+        # no model (empty/tokenless train frame): nothing is scorable
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, df.schema[id_col].dataType),
+                    StructField("n_pairs", LongType()),
+                    StructField("nll_i4", LongType()),
+                    StructField("avg_nll_i4", LongType()),
+                ]
+            ),
+        )
+    if train is None:
+        c2 = ptf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    else:
+        c2 = (
+            _pairs(train_t)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # left joins + coalesce(0): a no-op when train is the scored corpus
+    # itself (every pair is present), the unseen-event price otherwise
     nll = F.expr(
-        f"CAST(round(ln((c1 + {vocab}) / (c2 + 1.0)) * 10000) AS BIGINT)"
+        f"CAST(round(ln((coalesce(c1, 0) + {vocab})"
+        " / (coalesce(c2, 0) + 1.0)) * 10000) AS BIGINT)"
     )
     return (
-        ptf.join(c2, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        ptf.join(c2, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
         .groupBy(id_col)
         .agg(
             F.sum("tf").cast("long").alias("n_pairs"),

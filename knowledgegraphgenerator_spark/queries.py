@@ -1965,6 +1965,24 @@ def q_lm_doc_score(spark, sf_dir):
     )
 
 
+def q_lm_heldout_score(spark, sf_dir):
+    """Held-out LM scoring — the train/validation regime (CCNet trains
+    on Wikipedia, scores the crawl): the bigram LM is trained on the
+    even-doc_id half of the corpus and the odd half is scored, so
+    UNSEEN bigrams and out-of-vocabulary contexts actually occur and
+    the add-one smoothing path (left joins + coalesce(0)) is what the
+    oracle certifies."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        lm_doc_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_doc_score(
+        docs.where(F.col("doc_id") % 2 != 0),
+        train=docs.where(F.col("doc_id") % 2 == 0),
+    )
+
+
 # RefinedWeb line-dedup seeds: the synthetic documents are single-line,
 # so the corpus is unioned with deterministic multi-line documents
 # (mirrored as VALUES in the DuckDB oracle — the docs_at_root seeding
@@ -2171,14 +2189,16 @@ def q_anchor_text_profile(spark, sf_dir):
 # host_hits_served (HITS off the bucketed edge store) are NEW and take
 # first-50 slots; term_count_threshold, bigram_count, and
 # substring_dedup (green driver rows in EVERY round r01-r04) rotate to
-# the tail.
+# the tail, as does doc_terms_ranked to make room for lm_heldout_score
+# (held-out train/score split exercising the unseen-event smoothing
+# path).
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_doc_score": q_lm_doc_score,
+    "lm_heldout_score": q_lm_heldout_score,
     "line_dedup": q_line_dedup,
     "host_hits_served": q_host_hits_served,
-    "doc_terms_ranked": q_doc_terms_ranked,
     "path_edges": q_path_edges,
     "host_pagerank": q_host_pagerank,
     "dedup_exact": q_dedup_exact,
@@ -2255,6 +2275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_count_threshold": q_term_count_threshold,
     "bigram_count": q_bigram_count,
     "substring_dedup": q_substring_dedup,
+    "doc_terms_ranked": q_doc_terms_ranked,
 }
 
 # Bench-only callables (timed by bench.py, not driver-gated): the raw
@@ -3100,6 +3121,37 @@ ORACLES["host_hits_served"] = _host_hits_oracle_sql()
 
 # CCNet bigram-LM scoring: identical add-one model, identical one-round
 # 1e-4-nat integerization per bigram TYPE, identical floor division
+# held-out regime: counts/vocab from the even-doc_id half, scoring over
+# the odd half; unseen events priced via left joins + coalesce(0)
+ORACLES["lm_heldout_score"] = (
+    "WITH fl AS (SELECT doc_id,"
+    " list_filter(string_split(text, ' '), x -> x <> '') AS t"
+    " FROM documents), "
+    "tr AS (SELECT * FROM fl WHERE doc_id % 2 = 0), "
+    "sc AS (SELECT * FROM fl WHERE doc_id % 2 <> 0), "
+    "v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v"
+    " FROM (SELECT unnest(t) AS term FROM tr)), "
+    "tp AS (SELECT unnest(t[1:len(t)-1]) AS w1,"
+    " unnest(t[2:len(t)]) AS w2 FROM tr WHERE len(t) >= 2), "
+    "c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM tp"
+    " GROUP BY w1, w2), "
+    "c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2"
+    " GROUP BY w1), "
+    "sp AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,"
+    " unnest(t[2:len(t)]) AS w2 FROM sc WHERE len(t) >= 2), "
+    "ptf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf"
+    " FROM sp GROUP BY doc_id, w1, w2), "
+    "s AS (SELECT ptf.doc_id, ptf.tf,"
+    " CAST(round(ln((coalesce(c1.c1, 0) + v.v)"
+    " / (coalesce(c2.c2, 0) + 1.0)) * 10000) AS BIGINT) AS nll"
+    " FROM ptf LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)"
+    " CROSS JOIN v) "
+    "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_pairs,"
+    " CAST(sum(tf * nll) AS BIGINT) AS nll_i4,"
+    " CAST(sum(tf * nll) // sum(tf) AS BIGINT) AS avg_nll_i4"
+    " FROM s GROUP BY doc_id"
+)
+
 ORACLES["lm_doc_score"] = (
     "WITH fl AS (SELECT doc_id,"
     " list_filter(string_split(text, ' '), x -> x <> '') AS t"

@@ -124,3 +124,68 @@ def test_lm_line_plan_shapes(spark):
     # or the final doc_id rollup of the tiny scored frame — none of
     # them re-partitions the raw token stream by position
     assert "posexplode" not in plan2.lower()
+
+
+def _py_heldout_scores(
+    train: dict[int, str], score: dict[int, str]
+) -> dict[int, tuple[int, int, int]]:
+    """Held-out twin of _py_lm_scores: counts/vocab from train, unseen
+    events priced by add-one (c2=0 / c1=0 fall out of .get defaults)."""
+    tt = {d: [t for t in s.split(" ") if t] for d, s in train.items()}
+    st = {d: [t for t in s.split(" ") if t] for d, s in score.items()}
+    vocab = len({t for ts in tt.values() for t in ts})
+    c2: dict[tuple[str, str], int] = {}
+    for ts in tt.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+    out: dict[int, tuple[int, int, int]] = {}
+    for d, ts in st.items():
+        if len(ts) < 2:
+            continue
+        total = 0
+        for a, b in zip(ts, ts[1:]):
+            nll = round(
+                math.log(
+                    (c1.get(a, 0) + vocab) / (c2.get((a, b), 0) + 1.0)
+                )
+                * 10000
+            )
+            total += nll
+        out[d] = (len(ts) - 1, total, total // (len(ts) - 1))
+    return out
+
+
+def test_lm_doc_score_heldout_unseen_events(spark):
+    train = {10: "the cat sat on the mat", 11: "the dog sat here"}
+    score = {
+        1: "the cat sat here",        # all events seen
+        2: "the cat ate the mat",     # unseen bigram (cat, ate) + OOV 'ate'
+        3: "zebra quagga",            # fully OOV context: uniform ln(V)
+        4: "mat",                     # unscorable
+    }
+    tdf = spark.createDataFrame(
+        list(train.items()), "doc_id long, text string"
+    )
+    sdf = spark.createDataFrame(
+        list(score.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["nll_i4"], r["avg_nll_i4"])
+        for r in lm_doc_score(sdf, train=tdf).collect()
+    }
+    assert got == _py_heldout_scores(train, score)
+    # unseen events cost more than seen ones
+    assert got[3][2] > got[1][2]
+
+
+def test_lm_doc_score_empty_train_is_unscorable(spark):
+    sdf = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    res = lm_doc_score(sdf, train=empty)
+    assert res.count() == 0
+    assert res.columns == ["doc_id", "n_pairs", "nll_i4", "avg_nll_i4"]
