@@ -125,6 +125,7 @@ HEADLINE = [
     # includes writing the store, like bm25_served)
     "lm_doc_score",
     "lm_heldout_score",
+    "lm_ppl_buckets",
     "line_dedup",
     "host_hits_served",
     "pricing_summary",

@@ -1983,6 +1983,39 @@ def q_lm_heldout_score(spark, sf_dir):
     )
 
 
+def q_lm_ppl_buckets(spark, sf_dir):
+    """The CCNet head/middle/tail split itself (Wenzek et al. 2020 §4.3
+    — the corpus is divided into three equal-mass perplexity tiers and
+    training mixes sample by tier): exact terciles of avg_nll_i4 are
+    computed ONCE (type-7 `percentile`, the doc_length_quantiles
+    parity shape — swap to approx_percentile at 100 TB), broadcast,
+    and every document is assigned its tier in a narrow map — CCNet's
+    actual production design (cutoffs are computed on a sample once,
+    then assignment streams). Integer scores make the tier boundaries
+    cross-engine-safe: a type-7 cut only ever equals a data value
+    exactly or falls strictly between two integers, so <= comparisons
+    cannot disagree on float round-off."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        lm_doc_score,
+    )
+
+    scores = lm_doc_score(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    cuts = scores.agg(
+        F.expr("percentile(avg_nll_i4, 0.33333D)").alias("c1"),
+        F.expr("percentile(avg_nll_i4, 0.66667D)").alias("c2"),
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_nll_i4",
+        F.when(F.col("avg_nll_i4") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_nll_i4") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 # RefinedWeb line-dedup seeds: the synthetic documents are single-line,
 # so the corpus is unioned with deterministic multi-line documents
 # (mirrored as VALUES in the DuckDB oracle — the docs_at_root seeding
@@ -2191,15 +2224,16 @@ def q_anchor_text_profile(spark, sf_dir):
 # substring_dedup (green driver rows in EVERY round r01-r04) rotate to
 # the tail, as does doc_terms_ranked to make room for lm_heldout_score
 # (held-out train/score split exercising the unseen-event smoothing
-# path).
+# path) and path_edges for lm_ppl_buckets (the CCNet head/middle/tail
+# tier split).
 # The FULL registry — all entries, count-asserted — is certified every
 # round by scripts/full_gate.py (CORRECTNESS_LOCAL_r{N}.json).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_doc_score": q_lm_doc_score,
     "lm_heldout_score": q_lm_heldout_score,
+    "lm_ppl_buckets": q_lm_ppl_buckets,
     "line_dedup": q_line_dedup,
     "host_hits_served": q_host_hits_served,
-    "path_edges": q_path_edges,
     "host_pagerank": q_host_pagerank,
     "dedup_exact": q_dedup_exact,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -2276,6 +2310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_count": q_bigram_count,
     "substring_dedup": q_substring_dedup,
     "doc_terms_ranked": q_doc_terms_ranked,
+    "path_edges": q_path_edges,
 }
 
 # Bench-only callables (timed by bench.py, not driver-gated): the raw
@@ -3152,7 +3187,7 @@ ORACLES["lm_heldout_score"] = (
     " FROM s GROUP BY doc_id"
 )
 
-ORACLES["lm_doc_score"] = (
+_LM_SCORE_SQL = (
     "WITH fl AS (SELECT doc_id,"
     " list_filter(string_split(text, ' '), x -> x <> '') AS t"
     " FROM documents), "
@@ -3174,6 +3209,21 @@ ORACLES["lm_doc_score"] = (
     " CAST(sum(tf * nll) AS BIGINT) AS nll_i4,"
     " CAST(sum(tf * nll) // sum(tf) AS BIGINT) AS avg_nll_i4"
     " FROM s GROUP BY doc_id"
+)
+ORACLES["lm_doc_score"] = _LM_SCORE_SQL
+
+# CCNet tier split: the same scored frame, exact type-7 terciles as a
+# 1-row CTE, tier assignment by <= comparison (integer scores make the
+# boundaries round-off-safe)
+ORACLES["lm_ppl_buckets"] = (
+    f"WITH s AS ({_LM_SCORE_SQL}), "
+    "c AS (SELECT quantile_cont(avg_nll_i4, 0.33333) AS c1,"
+    " quantile_cont(avg_nll_i4, 0.66667) AS c2 FROM s) "
+    "SELECT doc_id, avg_nll_i4,"
+    " CASE WHEN avg_nll_i4 <= c1 THEN 'head'"
+    " WHEN avg_nll_i4 <= c2 THEN 'middle'"
+    " ELSE 'tail' END AS bucket"
+    " FROM s, c"
 )
 
 

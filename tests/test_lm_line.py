@@ -189,3 +189,43 @@ def test_lm_doc_score_empty_train_is_unscorable(spark):
     res = lm_doc_score(sdf, train=empty)
     assert res.count() == 0
     assert res.columns == ["doc_id", "n_pairs", "nll_i4", "avg_nll_i4"]
+
+
+def test_lm_ppl_buckets_tercile_assignment(spark, tmp_path):
+    """The CCNet tier split must match numpy's type-7 percentile
+    (Spark `percentile` and DuckDB `quantile_cont` both implement it)
+    applied to the same integer scores."""
+    import numpy as np
+
+    from knowledgegraphgenerator_spark.queries import (
+        q_lm_doc_score,
+        q_lm_ppl_buckets,
+    )
+
+    docs = [
+        (i, " ".join(["the cat sat on the mat"] * (1 + i % 3))
+         + (" zebra quagga xylophone" * (i % 4)))
+        for i in range(12)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    scores = {
+        r["doc_id"]: r["avg_nll_i4"]
+        for r in q_lm_doc_score(spark, sf).collect()
+    }
+    vals = np.array(sorted(scores.values()), dtype=float)
+    c1 = np.percentile(vals, 33.333, method="linear")
+    c2 = np.percentile(vals, 66.667, method="linear")
+
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in q_lm_ppl_buckets(spark, sf).collect()
+    }
+    want = {
+        d: ("head" if v <= c1 else "middle" if v <= c2 else "tail")
+        for d, v in scores.items()
+    }
+    assert got == want
+    assert set(want.values()) == {"head", "middle", "tail"}
