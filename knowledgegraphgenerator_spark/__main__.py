@@ -27,7 +27,8 @@ plus the web-corpus subcommand.
 
   python -m knowledgegraphgenerator_spark curate \\
       --input /path/web_pages_parquet --output /path/cleaned \\
-      [--line-dedup] [--pii] [--lm-score] [--max-avg-nll 40000]
+      [--line-dedup] [--pii] [--lm-score] [--max-avg-nll 40000] \\
+      [--lm-artifact /path/model | --save-lm-artifact /path/model]
 
 For cluster runs: zip the package (scripts/package.sh) and
 ``spark-submit --py-files kg_spark.zip run_kg.py ...`` — the module only
@@ -186,6 +187,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="drop documents whose avg_nll_i4 exceeds this bound "
              "(integer 1e-4 nats; implies --lm-score); docs too short "
              "to score (<2 tokens) are dropped too",
+    )
+    cu.add_argument(
+        "--lm-artifact", default=None,
+        help="score against a FROZEN save_lm_artifact() model instead "
+             "of self-training on the input (the CCNet reference-model "
+             "regime); implies --lm-score",
+    )
+    cu.add_argument(
+        "--save-lm-artifact", default=None,
+        help="ALSO train a bigram LM on the curated text and persist "
+             "it to this path for later --lm-artifact runs",
     )
 
     for p in (faq, corpus, an, syn, dd, st, ing, ix, se, cu):
@@ -378,6 +390,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from knowledgegraphgenerator_spark.operators.curation import (
                 drop_repeated_lines,
                 lm_doc_score,
+                lm_doc_score_from_artifact,
+                save_lm_artifact,
                 scrub_pii,
             )
 
@@ -390,12 +404,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     .drop("text", "n_emails", "n_ips", "n_phones")
                     .withColumnRenamed("scrubbed", "text")
                 )
-            if args.lm_score or args.max_avg_nll is not None:
+            if args.save_lm_artifact:
+                df = df.persist()
+                save_lm_artifact(df, args.save_lm_artifact)
+            if (
+                args.lm_score
+                or args.max_avg_nll is not None
+                or args.lm_artifact
+            ):
                 # curation chains re-read df several times upstream of
                 # the LM's corpus-wide aggregations — persist the
                 # rewritten text once so the scan doesn't re-run per job
                 df = df.persist()
-                scores = lm_doc_score(df)
+                if args.lm_artifact:
+                    scores = lm_doc_score_from_artifact(
+                        df, args.lm_artifact
+                    )
+                else:
+                    scores = lm_doc_score(df)
                 if args.max_avg_nll is not None:
                     scores = scores.where(
                         F.col("avg_nll_i4") <= args.max_avg_nll

@@ -798,28 +798,10 @@ def lm_doc_score(
     quadratic and nothing materializes per-position state.
     """
     spark = df.sparkSession
-
-    def _with_tokens(frame: DataFrame) -> DataFrame:
-        toks = F.filter(
-            F.split(F.col(text_col), " "), lambda x: x != ""
-        )
-        return frame.select(F.col(id_col), toks.alias("t"))
-
-    def _pairs(with_t: DataFrame) -> DataFrame:
-        return with_t.where(F.size("t") >= 2).select(
-            id_col,
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
-                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
-                )
-            ).alias("p"),
-        ).select(
-            id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-        )
-
-    score_t = _with_tokens(df)
-    train_t = score_t if train is None else _with_tokens(train)
+    score_t = _lm_tokens(df, text_col, id_col)
+    train_t = (
+        score_t if train is None else _lm_tokens(train, text_col, id_col)
+    )
     # vocabulary scalar (one small agg; config-sized driver value)
     v_row = (
         train_t.select(F.explode("t").alias("term"))
@@ -827,7 +809,7 @@ def lm_doc_score(
         .collect()[0]
     )
     vocab = int(v_row["v"] or 0)
-    ptf = _pairs(score_t).groupBy(id_col, "w1", "w2").agg(
+    ptf = _lm_pairs(score_t, id_col).groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
     )
     if vocab == 0:
@@ -849,13 +831,48 @@ def lm_doc_score(
         c2 = ptf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
     else:
         c2 = (
-            _pairs(train_t)
+            _lm_pairs(train_t, id_col)
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("long").alias("c2"))
         )
+    return _lm_score_tail(ptf, c2, vocab, id_col)
+
+
+def _lm_tokens(
+    frame: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, t: filtered token array) — shared by every LM path."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    return frame.select(F.col(id_col), toks.alias("t"))
+
+
+def _lm_pairs(with_t: DataFrame, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-pair rows from zip-sliced token arrays —
+    narrow, never a doc_id shuffle or window."""
+    return with_t.where(F.size("t") >= 2).select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def _lm_score_tail(
+    ptf: DataFrame, c2: DataFrame, vocab: int, id_col: str
+) -> DataFrame:
+    """Shared scoring tail of the self-trained / held-out /
+    from-artifact LM paths: doc-bigram tf against model counts.
+    c1 is always DERIVED from c2 (sum over w2), so a persisted model
+    cannot carry an inconsistent context count. Left joins +
+    coalesce(0): a no-op when the model was trained on the scored
+    corpus itself (every pair is present), the unseen-event price
+    otherwise."""
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # left joins + coalesce(0): a no-op when train is the scored corpus
-    # itself (every pair is present), the unseen-event price otherwise
     nll = F.expr(
         f"CAST(round(ln((coalesce(c1, 0) + {vocab})"
         " / (coalesce(c2, 0) + 1.0)) * 10000) AS BIGINT)"
@@ -875,6 +892,88 @@ def lm_doc_score(
             F.expr("nll_i4 div n_pairs").cast("long").alias("avg_nll_i4"),
         )
     )
+
+
+def save_lm_artifact(
+    train: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Persist a trained bigram LM as ONE parquet table — the frozen
+    reference-model regime (CCNet trains its LM once on a clean corpus
+    and every crawl batch scores against it): rows
+    (kind='bigram', w1, w2, cnt=c2) plus one (kind='meta',
+    w1='vocab_size', cnt=V) row. Only bigram counts and the vocabulary
+    scalar are stored; context counts are re-derived on load
+    (sum of c2 over w2), so the artifact cannot go internally
+    inconsistent. Same artifact discipline as the linking dictionary
+    (operators/phrases.save_dictionary): batch refresh writes it,
+    scoring jobs load it."""
+    with_t = train.select(
+        F.monotonically_increasing_id().alias("_lm_id"), F.col(text_col)
+    )
+    with_t = _lm_tokens(with_t, text_col, "_lm_id")
+    vocab = with_t.select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term")
+    ).collect()[0][0]
+    c2 = (
+        _lm_pairs(with_t, "_lm_id")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    meta = train.sparkSession.createDataFrame(
+        [("meta", "vocab_size", None, int(vocab or 0))],
+        "kind string, w1 string, w2 string, cnt long",
+    )
+    c2.select(
+        F.lit("bigram").alias("kind"), "w1", "w2", F.col("cnt")
+    ).unionByName(meta).write.mode("overwrite").parquet(path)
+
+
+def lm_doc_score_from_artifact(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus against a save_lm_artifact() model — exactly
+    equal to ``lm_doc_score(df, train=<the corpus the artifact was
+    trained on>)`` (differential-tested), without re-reading or
+    re-pairing the training text. The model load is two scans of the
+    compact artifact (bigram-type rows ~|bigram vocab|, one meta row);
+    scoring cost is the usual one (w1, w2) equi-join."""
+    spark = df.sparkSession
+    art = spark.read.parquet(path)
+    meta = art.where(
+        (F.col("kind") == "meta") & (F.col("w1") == "vocab_size")
+    ).select("cnt").collect()
+    if not meta:
+        raise ValueError(
+            f"LM artifact at {path} has no meta/vocab_size row — not a "
+            "save_lm_artifact() table"
+        )
+    vocab = int(meta[0]["cnt"] or 0)
+    ptf = (
+        _lm_pairs(_lm_tokens(df, text_col, id_col), id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if vocab == 0:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, df.schema[id_col].dataType),
+                    StructField("n_pairs", LongType()),
+                    StructField("nll_i4", LongType()),
+                    StructField("avg_nll_i4", LongType()),
+                ]
+            ),
+        )
+    c2 = art.where(F.col("kind") == "bigram").select(
+        "w1", "w2", F.col("cnt").alias("c2")
+    )
+    return _lm_score_tail(ptf, c2, vocab, id_col)
 
 
 def drop_repeated_lines(

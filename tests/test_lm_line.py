@@ -229,3 +229,83 @@ def test_lm_ppl_buckets_tercile_assignment(spark, tmp_path):
     }
     assert got == want
     assert set(want.values()) == {"head", "middle", "tail"}
+
+
+def test_lm_artifact_roundtrip_equals_heldout(spark, tmp_path):
+    """save_lm_artifact + lm_doc_score_from_artifact must equal
+    lm_doc_score(df, train=train) value-for-value — the frozen
+    reference-model regime is lossless."""
+    from knowledgegraphgenerator_spark.operators.curation import (
+        lm_doc_score_from_artifact,
+        save_lm_artifact,
+    )
+
+    train = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "the dog sat here")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the cat sat here"),
+            (2, "the cat ate the mat"),
+            (3, "zebra quagga"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm_model")
+    save_lm_artifact(train, path)
+
+    direct = {
+        tuple(r) for r in lm_doc_score(score, train=train).collect()
+    }
+    via_artifact = {
+        tuple(r)
+        for r in lm_doc_score_from_artifact(score, path).collect()
+    }
+    assert via_artifact == direct and len(direct) == 3
+
+    import pytest as _pytest
+
+    # a non-artifact parquet dir must be rejected loudly
+    train.write.mode("overwrite").parquet(str(tmp_path / "not_model"))
+    with _pytest.raises(Exception):
+        lm_doc_score_from_artifact(score, str(tmp_path / "not_model"))
+
+
+def test_cli_curate_lm_artifact_regime(spark, tmp_path):
+    """curate --save-lm-artifact on a clean corpus, then curate
+    --lm-artifact on a crawl: scores must equal the library's
+    held-out path trained on the clean corpus."""
+    from knowledgegraphgenerator_spark.__main__ import main
+
+    clean = spark.createDataFrame(
+        [(10, "the cat sat on the mat", "en"),
+         (11, "the dog sat here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    crawl = spark.createDataFrame(
+        [(1, "the cat sat here", "en"), (2, "zebra quagga xy", "en")],
+        "doc_id long, text string, lang string",
+    )
+    clean_src = str(tmp_path / "clean")
+    crawl_src = str(tmp_path / "crawl")
+    clean.write.mode("overwrite").parquet(clean_src)
+    crawl.write.mode("overwrite").parquet(crawl_src)
+    model = str(tmp_path / "model")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+
+    assert main(["curate", "--input", clean_src, "--output", out1,
+                 "--save-lm-artifact", model], spark=spark) == 0
+    assert main(["curate", "--input", crawl_src, "--output", out2,
+                 "--lm-artifact", model], spark=spark) == 0
+
+    got = {
+        r["doc_id"]: r["avg_nll_i4"]
+        for r in spark.read.parquet(out2).collect()
+    }
+    want = {
+        r["doc_id"]: r["avg_nll_i4"]
+        for r in lm_doc_score(crawl, train=clean).collect()
+    }
+    assert got == want
