@@ -134,6 +134,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "index -> serve in one stream",
     )
     ing.add_argument("--index-buckets", type=int, default=8)
+    ing.add_argument(
+        "--lm-artifact", default=None,
+        help="quality-gated admission: frozen save_lm_artifact() model "
+             "to score each batch against (requires --max-avg-nll)",
+    )
+    ing.add_argument(
+        "--max-avg-nll", type=int, default=None,
+        help="drop documents whose avg_nll_i4 under --lm-artifact "
+             "exceeds this bound, before dedup/admit",
+    )
 
     ix = sub.add_parser(
         "index",
@@ -349,6 +359,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     if args.index else None
                 ),
                 index_buckets=args.index_buckets,
+                lm_artifact_dir=args.lm_artifact,
+                max_avg_nll=args.max_avg_nll,
             )
         elif args.cmd == "index":
             from knowledgegraphgenerator_spark.operators.retrieval import (

@@ -928,6 +928,56 @@ def save_lm_artifact(
     ).unionByName(meta).write.mode("overwrite").parquet(path)
 
 
+def load_lm_artifact(spark, path: str) -> tuple[DataFrame, int]:
+    """Load a save_lm_artifact() table into its scoring form:
+    (c2 frame (w1, w2, c2), vocabulary size). Rejects non-artifact
+    parquet loudly (no meta row). One config-sized collect for the
+    scalar; the c2 frame stays lazy — a stream loads the model ONCE at
+    start and scores every batch against the same frames (the frozen
+    dictionary discipline, streaming/incremental.py)."""
+    art = spark.read.parquet(path)
+    meta = art.where(
+        (F.col("kind") == "meta") & (F.col("w1") == "vocab_size")
+    ).select("cnt").collect()
+    if not meta:
+        raise ValueError(
+            f"LM artifact at {path} has no meta/vocab_size row — not a "
+            "save_lm_artifact() table"
+        )
+    c2 = art.where(F.col("kind") == "bigram").select(
+        "w1", "w2", F.col("cnt").alias("c2")
+    )
+    return c2, int(meta[0]["cnt"] or 0)
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    c2: DataFrame,
+    vocab: int,
+    max_avg_nll: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only documents whose avg_nll_i4 under the given model
+    (load_lm_artifact frames) is <= ``max_avg_nll``; documents too
+    short to score (<2 tokens) drop too — the same contract as the
+    curate CLI's --max-avg-nll. Semi join, so the input schema passes
+    through untouched."""
+    if vocab <= 0:
+        return df.limit(0)
+    ptf = (
+        _lm_pairs(_lm_tokens(df, text_col, id_col), id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    keep = (
+        _lm_score_tail(ptf, c2, vocab, id_col)
+        .where(F.col("avg_nll_i4") <= max_avg_nll)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "semi")
+
+
 def lm_doc_score_from_artifact(
     df: DataFrame,
     path: str,
@@ -941,21 +991,7 @@ def lm_doc_score_from_artifact(
     compact artifact (bigram-type rows ~|bigram vocab|, one meta row);
     scoring cost is the usual one (w1, w2) equi-join."""
     spark = df.sparkSession
-    art = spark.read.parquet(path)
-    meta = art.where(
-        (F.col("kind") == "meta") & (F.col("w1") == "vocab_size")
-    ).select("cnt").collect()
-    if not meta:
-        raise ValueError(
-            f"LM artifact at {path} has no meta/vocab_size row — not a "
-            "save_lm_artifact() table"
-        )
-    vocab = int(meta[0]["cnt"] or 0)
-    ptf = (
-        _lm_pairs(_lm_tokens(df, text_col, id_col), id_col)
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    c2, vocab = load_lm_artifact(spark, path)
     if vocab == 0:
         from pyspark.sql.types import LongType, StructField, StructType
 
@@ -970,8 +1006,10 @@ def lm_doc_score_from_artifact(
                 ]
             ),
         )
-    c2 = art.where(F.col("kind") == "bigram").select(
-        "w1", "w2", F.col("cnt").alias("c2")
+    ptf = (
+        _lm_pairs(_lm_tokens(df, text_col, id_col), id_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     return _lm_score_tail(ptf, c2, vocab, id_col)
 

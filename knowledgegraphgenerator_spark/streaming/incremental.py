@@ -228,6 +228,8 @@ def incremental_ingest_dedup(
     contamination_threshold_permille: int = 200,
     index_tables: tuple[str, str] | None = None,
     index_buckets: int = 8,
+    lm_artifact_dir: str | None = None,
+    max_avg_nll: int | None = None,
 ) -> None:
     """Streaming crawl ingestion that ADMITS ONLY NOVEL documents: each
     micro-batch is deduped (a) within itself in crawl order
@@ -285,6 +287,19 @@ def incremental_ingest_dedup(
     sequential decontaminate → crawl_dedup → admit chain
     (test_runner_streaming).
 
+    ``lm_artifact_dir`` + ``max_avg_nll`` (both required together):
+    QUALITY-GATED admission — each batch is filtered through
+    curation.lm_quality_filter against a FROZEN save_lm_artifact()
+    bigram LM (documents whose avg_nll_i4 exceeds the bound, or that
+    are too short to score, drop) AFTER decontamination and BEFORE
+    dedup/admit, for the same structural reason decontamination runs
+    first: a junk document must not survive as the crawl-order
+    canonical that shadows a good near-duplicate. The model frames are
+    loaded ONCE at stream start (frozen-dictionary discipline); admit
+    decisions are differential-equal to the sequential decontaminate →
+    lm_quality_filter → crawl_dedup → admit chain
+    (test_runner_streaming).
+
     ``index_tables`` = (postings_table, doclen_table): each admitted
     batch is ALSO indexed into the bucketed BM25 retrieval store
     (operators/retrieval.py) — the crawl → admit → index → serve loop
@@ -319,6 +334,20 @@ def incremental_ingest_dedup(
         )
 
         bench = spark.read.parquet(benchmark_dir).select("shingle")
+
+    if (lm_artifact_dir is None) != (max_avg_nll is None):
+        raise ValueError(
+            "quality-gated ingestion needs BOTH lm_artifact_dir and "
+            "max_avg_nll (a model without a bound filters nothing; a "
+            "bound without a model has nothing to score against)"
+        )
+    lm_model = None
+    if lm_artifact_dir is not None:
+        from knowledgegraphgenerator_spark.operators.curation import (
+            load_lm_artifact,
+        )
+
+        lm_model = load_lm_artifact(spark, lm_artifact_dir)
 
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
@@ -362,6 +391,14 @@ def incremental_ingest_dedup(
                 batch_df,
                 bench,
                 threshold_permille=contamination_threshold_permille,
+            )
+        if lm_model is not None:
+            from knowledgegraphgenerator_spark.operators.curation import (
+                lm_quality_filter,
+            )
+
+            batch_df = lm_quality_filter(
+                batch_df, lm_model[0], lm_model[1], max_avg_nll
             )
         batch = crawl_dedup(batch_df, "text", "doc_id")
         prior = _corpus_batches(batch_id)

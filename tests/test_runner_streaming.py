@@ -921,3 +921,98 @@ def test_incremental_ingest_index_refuses_orphaned_store(
         import shutil
 
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_incremental_ingest_quality_gated(spark, tmp_path):
+    """Quality-gated admission (--lm-artifact/--max-avg-nll): junk
+    documents are dropped against a FROZEN bigram LM BEFORE dedup/
+    admit — the decisive ordering case mirrors decontamination: doc 1
+    (junk under the model) arrives before doc 2 (clean near-dup of 1);
+    dedup-first would collapse 2 into 1 and then drop 1, admitting
+    NOTHING, while the quality-first stream admits 2. Stream decisions
+    == the sequential lm_quality_filter -> crawl_dedup -> admit chain,
+    and one-sided parameters fail loudly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from knowledgegraphgenerator_spark.operators.curation import (
+        lm_quality_filter,
+        load_lm_artifact,
+        save_lm_artifact,
+    )
+    from knowledgegraphgenerator_spark.operators.dedup import crawl_dedup
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    # model trained on "good" text; junk shares almost no bigrams
+    train = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog "
+                   "a stitch in time saves nine")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = str(tmp_path / "model")
+    save_lm_artifact(train, model)
+
+    good = ("the quick brown fox jumps over the lazy dog "
+            "a stitch in time saves nine more words here now")
+    # near-dup of `good` (high Jaccard) arriving AFTER a junk-leaning
+    # twin would be shadowed under dedup-first
+    junk_twin = ("zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg "
+                 "hh jj kk ll")
+    c2, vocab = load_lm_artifact(spark, model)
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"https://x/{i}",
+                 "2026-01-01 00:00:00", None, t, "en")
+                for i, t in rows
+            ],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    batch1 = [(1, junk_twin), (2, good), (3, good + " extra")]
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    pages(batch1).write.mode("overwrite").parquet(src)
+
+    # pick a bound that separates good from junk under THIS model
+    scored = lm_quality_filter(
+        pages(batch1), c2, vocab, max_avg_nll=10**9
+    )  # no-op bound, sanity: semi join keeps schema
+    assert set(scored.columns) == set(pages(batch1).columns)
+    from knowledgegraphgenerator_spark.operators.curation import (
+        lm_doc_score_from_artifact,
+    )
+    by_doc = {
+        r["doc_id"]: r["avg_nll_i4"]
+        for r in lm_doc_score_from_artifact(pages(batch1), model)
+        .collect()
+    }
+    bound = (by_doc[2] + by_doc[1]) // 2
+    assert by_doc[2] < bound < by_doc[1]
+
+    incremental_ingest_dedup(
+        spark, src, corpus, ckpt,
+        lm_artifact_dir=model, max_avg_nll=bound,
+    )
+    admitted = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    expect = {
+        r.doc_id
+        for r in crawl_dedup(
+            lm_quality_filter(pages(batch1), c2, vocab, bound),
+            "text", "doc_id",
+        ).collect()
+    }
+    assert admitted == expect
+    assert 1 not in admitted and 2 in admitted
+
+    with pytest.raises(ValueError, match="BOTH lm_artifact_dir"):
+        incremental_ingest_dedup(
+            spark, src, corpus, str(tmp_path / "ckpt2"),
+            lm_artifact_dir=model,
+        )
