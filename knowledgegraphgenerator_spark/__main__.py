@@ -206,8 +206,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     cu.add_argument(
         "--save-lm-artifact", default=None,
-        help="ALSO train a bigram LM on the curated text and persist "
-             "it to this path for later --lm-artifact runs",
+        help="ALSO train a bigram LM on the text that SHIPS (after any "
+             "--max-avg-nll filter) and persist it to this path for "
+             "later --lm-artifact runs",
     )
 
     for p in (faq, corpus, an, syn, dd, st, ing, ix, se, cu):
@@ -416,18 +417,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     .drop("text", "n_emails", "n_ips", "n_phones")
                     .withColumnRenamed("scrubbed", "text")
                 )
-            if args.save_lm_artifact:
-                df = df.persist()
-                save_lm_artifact(df, args.save_lm_artifact)
-            if (
+            want_scores = (
                 args.lm_score
                 or args.max_avg_nll is not None
-                or args.lm_artifact
-            ):
+                or args.lm_artifact is not None
+            )
+            if want_scores or args.save_lm_artifact:
                 # curation chains re-read df several times upstream of
                 # the LM's corpus-wide aggregations — persist the
                 # rewritten text once so the scan doesn't re-run per job
                 df = df.persist()
+            if want_scores:
+                # re-curating an already-scored corpus: stale LM
+                # columns would collide with the fresh score join
+                df = df.drop("n_pairs", "nll_i4", "avg_nll_i4")
                 if args.lm_artifact:
                     scores = lm_doc_score_from_artifact(
                         df, args.lm_artifact
@@ -441,6 +444,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     df = df.join(scores, "doc_id")
                 else:
                     df = df.join(scores, "doc_id", "left")
+            if args.save_lm_artifact:
+                # train on the text that SHIPS — after any quality
+                # filter, so the frozen reference model is not
+                # contaminated by the documents this run dropped
+                save_lm_artifact(df, args.save_lm_artifact)
             df.write.mode("overwrite").parquet(args.output)
             if args.v:
                 print(f"curated corpus -> {args.output}")

@@ -797,7 +797,6 @@ def lm_doc_score(
     frame c1 is vocabulary-sized and broadcast. Nothing here is
     quadratic and nothing materializes per-position state.
     """
-    spark = df.sparkSession
     score_t = _lm_tokens(df, text_col, id_col)
     train_t = (
         score_t if train is None else _lm_tokens(train, text_col, id_col)
@@ -809,24 +808,10 @@ def lm_doc_score(
         .collect()[0]
     )
     vocab = int(v_row["v"] or 0)
-    ptf = _lm_pairs(score_t, id_col).groupBy(id_col, "w1", "w2").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
     if vocab == 0:
         # no model (empty/tokenless train frame): nothing is scorable
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField(id_col, df.schema[id_col].dataType),
-                    StructField("n_pairs", LongType()),
-                    StructField("nll_i4", LongType()),
-                    StructField("avg_nll_i4", LongType()),
-                ]
-            ),
-        )
+        return _lm_empty_scores(df, id_col)
+    ptf = _lm_ptf_from_tokens(score_t, id_col)
     if train is None:
         c2 = ptf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
     else:
@@ -846,6 +831,36 @@ def _lm_tokens(
     return frame.select(F.col(id_col), toks.alias("t"))
 
 
+def _lm_ptf_from_tokens(with_t: DataFrame, id_col: str) -> DataFrame:
+    """(id, w1, w2, tf) doc-bigram term frequencies — the scoring-side
+    input every LM path builds."""
+    return _lm_pairs(with_t, id_col).groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def _lm_ptf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return _lm_ptf_from_tokens(_lm_tokens(df, text_col, id_col), id_col)
+
+
+def _lm_empty_scores(df: DataFrame, id_col: str) -> DataFrame:
+    """Empty (id, n_pairs, nll_i4, avg_nll_i4) frame with the caller's
+    id type — the nothing-is-scorable result."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return df.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField(id_col, df.schema[id_col].dataType),
+                StructField("n_pairs", LongType()),
+                StructField("nll_i4", LongType()),
+                StructField("avg_nll_i4", LongType()),
+            ]
+        ),
+    )
+
+
 def _lm_pairs(with_t: DataFrame, id_col: str) -> DataFrame:
     """(id, w1, w2) adjacent-pair rows from zip-sliced token arrays —
     narrow, never a doc_id shuffle or window."""
@@ -863,16 +878,22 @@ def _lm_pairs(with_t: DataFrame, id_col: str) -> DataFrame:
 
 
 def _lm_score_tail(
-    ptf: DataFrame, c2: DataFrame, vocab: int, id_col: str
+    ptf: DataFrame,
+    c2: DataFrame,
+    vocab: int,
+    id_col: str,
+    c1: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail of the self-trained / held-out /
     from-artifact LM paths: doc-bigram tf against model counts.
     c1 is always DERIVED from c2 (sum over w2), so a persisted model
-    cannot carry an inconsistent context count. Left joins +
-    coalesce(0): a no-op when the model was trained on the scored
-    corpus itself (every pair is present), the unseen-event price
-    otherwise."""
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    cannot carry an inconsistent context count — a caller that scores
+    many batches against one frozen model (streaming ingest) derives
+    it ONCE, persists, and passes it in. Left joins + coalesce(0): a
+    no-op when the model was trained on the scored corpus itself
+    (every pair is present), the unseen-event price otherwise."""
+    if c1 is None:
+        c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     nll = F.expr(
         f"CAST(round(ln((coalesce(c1, 0) + {vocab})"
         " / (coalesce(c2, 0) + 1.0)) * 10000) AS BIGINT)"
@@ -906,21 +927,35 @@ def save_lm_artifact(
     (sum of c2 over w2), so the artifact cannot go internally
     inconsistent. Same artifact discipline as the linking dictionary
     (operators/phrases.save_dictionary): batch refresh writes it,
-    scoring jobs load it."""
+    scoring jobs load it.
+
+    Refuses to write a model with an empty vocabulary: an empty or
+    tokenless training corpus is a misconfiguration (wrong path, empty
+    read), and a vocab=0 artifact consumed by a quality-gated stream
+    would silently drop every document forever — fail at training
+    time, where the mistake is."""
     with_t = train.select(
-        F.monotonically_increasing_id().alias("_lm_id"), F.col(text_col)
+        F.lit(0).cast("long").alias("_lm_id"), F.col(text_col)
     )
     with_t = _lm_tokens(with_t, text_col, "_lm_id")
-    vocab = with_t.select(F.explode("t").alias("term")).agg(
-        F.countDistinct("term")
-    ).collect()[0][0]
+    vocab = int(
+        with_t.select(F.explode("t").alias("term"))
+        .agg(F.countDistinct("term"))
+        .collect()[0][0]
+        or 0
+    )
+    if vocab == 0:
+        raise ValueError(
+            "save_lm_artifact: training corpus has no tokens — refusing "
+            "to write an unusable vocab=0 model (check the input path)"
+        )
     c2 = (
         _lm_pairs(with_t, "_lm_id")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     meta = train.sparkSession.createDataFrame(
-        [("meta", "vocab_size", None, int(vocab or 0))],
+        [("meta", "vocab_size", None, vocab)],
         "kind string, w1 string, w2 string, cnt long",
     )
     c2.select(
@@ -931,10 +966,13 @@ def save_lm_artifact(
 def load_lm_artifact(spark, path: str) -> tuple[DataFrame, int]:
     """Load a save_lm_artifact() table into its scoring form:
     (c2 frame (w1, w2, c2), vocabulary size). Rejects non-artifact
-    parquet loudly (no meta row). One config-sized collect for the
-    scalar; the c2 frame stays lazy — a stream loads the model ONCE at
-    start and scores every batch against the same frames (the frozen
-    dictionary discipline, streaming/incremental.py)."""
+    parquet loudly (no meta row) AND an unusable vocab<=0 model
+    (save_lm_artifact refuses to write one, but a hand-built or
+    corrupted table must not silently drop every scored document).
+    One config-sized collect for the scalar; the c2 frame stays lazy —
+    a stream loads the model ONCE at start and scores every batch
+    against the same frames (the frozen dictionary discipline,
+    streaming/incremental.py)."""
     art = spark.read.parquet(path)
     meta = art.where(
         (F.col("kind") == "meta") & (F.col("w1") == "vocab_size")
@@ -944,10 +982,17 @@ def load_lm_artifact(spark, path: str) -> tuple[DataFrame, int]:
             f"LM artifact at {path} has no meta/vocab_size row — not a "
             "save_lm_artifact() table"
         )
+    vocab = int(meta[0]["cnt"] or 0)
+    if vocab <= 0:
+        raise ValueError(
+            f"LM artifact at {path} has vocab_size={vocab} — an empty "
+            "model scores nothing and a quality gate on it would drop "
+            "every document; retrain on a non-empty corpus"
+        )
     c2 = art.where(F.col("kind") == "bigram").select(
         "w1", "w2", F.col("cnt").alias("c2")
     )
-    return c2, int(meta[0]["cnt"] or 0)
+    return c2, vocab
 
 
 def lm_quality_filter(
@@ -957,21 +1002,25 @@ def lm_quality_filter(
     max_avg_nll: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    c1: DataFrame | None = None,
 ) -> DataFrame:
     """Keep only documents whose avg_nll_i4 under the given model
     (load_lm_artifact frames) is <= ``max_avg_nll``; documents too
     short to score (<2 tokens) drop too — the same contract as the
     curate CLI's --max-avg-nll. Semi join, so the input schema passes
-    through untouched."""
+    through untouched. An empty model is rejected loudly (a vocab=0
+    gate would silently drop everything; load_lm_artifact refuses to
+    produce one). Per-batch callers (streaming ingest) pass the
+    derived-and-persisted ``c1`` so the model is not re-aggregated
+    per batch."""
     if vocab <= 0:
-        return df.limit(0)
-    ptf = (
-        _lm_pairs(_lm_tokens(df, text_col, id_col), id_col)
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+        raise ValueError(
+            "lm_quality_filter: vocab must be positive — an empty model "
+            "would drop every document"
+        )
     keep = (
-        _lm_score_tail(ptf, c2, vocab, id_col)
+        _lm_score_tail(_lm_ptf(df, text_col, id_col), c2, vocab, id_col,
+                       c1=c1)
         .where(F.col("avg_nll_i4") <= max_avg_nll)
         .select(id_col)
     )
@@ -990,28 +1039,8 @@ def lm_doc_score_from_artifact(
     re-pairing the training text. The model load is two scans of the
     compact artifact (bigram-type rows ~|bigram vocab|, one meta row);
     scoring cost is the usual one (w1, w2) equi-join."""
-    spark = df.sparkSession
-    c2, vocab = load_lm_artifact(spark, path)
-    if vocab == 0:
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField(id_col, df.schema[id_col].dataType),
-                    StructField("n_pairs", LongType()),
-                    StructField("nll_i4", LongType()),
-                    StructField("avg_nll_i4", LongType()),
-                ]
-            ),
-        )
-    ptf = (
-        _lm_pairs(_lm_tokens(df, text_col, id_col), id_col)
-        .groupBy(id_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    return _lm_score_tail(ptf, c2, vocab, id_col)
+    c2, vocab = load_lm_artifact(df.sparkSession, path)
+    return _lm_score_tail(_lm_ptf(df, text_col, id_col), c2, vocab, id_col)
 
 
 def drop_repeated_lines(

@@ -1999,9 +1999,12 @@ def q_lm_ppl_buckets(spark, sf_dir):
         lm_doc_score,
     )
 
+    # persisted: both the tercile aggregation and the returned frame
+    # consume the full scoring lineage — without this the corpus-wide
+    # LM scoring runs twice
     scores = lm_doc_score(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    ).persist()
     cuts = scores.agg(
         F.expr("percentile(avg_nll_i4, 0.33333D)").alias("c1"),
         F.expr("percentile(avg_nll_i4, 0.66667D)").alias("c2"),

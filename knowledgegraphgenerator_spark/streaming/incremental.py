@@ -347,7 +347,16 @@ def incremental_ingest_dedup(
             load_lm_artifact,
         )
 
-        lm_model = load_lm_artifact(spark, lm_artifact_dir)
+        # the model is FROZEN for the stream's lifetime: persist the
+        # bigram counts and derive+persist the context counts ONCE so
+        # per-batch scoring joins cached frames instead of re-scanning
+        # and re-aggregating the artifact every micro-batch
+        lm_c2, lm_vocab = load_lm_artifact(spark, lm_artifact_dir)
+        lm_c2 = lm_c2.persist()
+        lm_c1 = lm_c2.groupBy("w1").agg(
+            F.sum("c2").alias("c1")
+        ).persist()
+        lm_model = (lm_c2, lm_vocab, lm_c1)
 
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
@@ -398,7 +407,8 @@ def incremental_ingest_dedup(
             )
 
             batch_df = lm_quality_filter(
-                batch_df, lm_model[0], lm_model[1], max_avg_nll
+                batch_df, lm_model[0], lm_model[1], max_avg_nll,
+                c1=lm_model[2],
             )
         batch = crawl_dedup(batch_df, "text", "doc_id")
         prior = _corpus_batches(batch_id)
@@ -545,7 +555,12 @@ def incremental_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if lm_model is not None:
+            lm_model[0].unpersist()
+            lm_model[2].unpersist()
 
 
 def incremental_kg_triples_auto(

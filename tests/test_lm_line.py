@@ -309,3 +309,94 @@ def test_cli_curate_lm_artifact_regime(spark, tmp_path):
         for r in lm_doc_score(crawl, train=clean).collect()
     }
     assert got == want
+
+
+def test_lm_artifact_guards(spark, tmp_path):
+    """Review-pass guards: (a) save_lm_artifact refuses an empty/
+    tokenless training corpus; (b) load_lm_artifact rejects a
+    hand-built vocab=0 table; (c) lm_quality_filter rejects vocab<=0
+    instead of silently dropping everything."""
+    import pytest
+
+    from knowledgegraphgenerator_spark.operators.curation import (
+        lm_quality_filter,
+        load_lm_artifact,
+        save_lm_artifact,
+    )
+
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        save_lm_artifact(empty, str(tmp_path / "m0"))
+
+    spark.createDataFrame(
+        [("meta", "vocab_size", None, 0)],
+        "kind string, w1 string, w2 string, cnt long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "m1"))
+    with pytest.raises(ValueError, match="vocab_size=0"):
+        load_lm_artifact(spark, str(tmp_path / "m1"))
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    c2 = spark.createDataFrame([], "w1 string, w2 string, c2 long")
+    with pytest.raises(ValueError, match="vocab must be positive"):
+        lm_quality_filter(df, c2, 0, 100)
+
+
+def test_cli_curate_recurate_and_train_after_filter(spark, tmp_path):
+    """Review-pass fixes: (a) curating an already-scored corpus must
+    not crash on duplicate LM columns — stale scores are replaced;
+    (b) --save-lm-artifact trains on the text that SHIPS: with
+    --max-avg-nll the dropped junk must not contaminate the model."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.__main__ import main
+    from knowledgegraphgenerator_spark.operators.curation import (
+        save_lm_artifact,
+    )
+
+    good = "the cat sat on the mat and the dog sat here too"
+    junk = "zz qq ww ee rr tt yy uu ii oo pp"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, good), (2, good + " again"), (3, junk)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+
+    out1 = str(tmp_path / "out1")
+    assert main(["curate", "--input", src, "--output", out1,
+                 "--lm-score"], spark=spark) == 0
+    scored = spark.read.parquet(out1)
+    assert "avg_nll_i4" in scored.columns
+
+    # (a) re-curate the scored output with a filter — used to raise
+    # AnalysisException on duplicate n_pairs/nll_i4/avg_nll_i4
+    cut = int(
+        scored.orderBy("avg_nll_i4").collect()[1]["avg_nll_i4"]
+    )
+    out2 = str(tmp_path / "out2")
+    model = str(tmp_path / "model")
+    assert main(["curate", "--input", out1, "--output", out2,
+                 "--max-avg-nll", str(cut),
+                 "--save-lm-artifact", model], spark=spark) == 0
+    kept = spark.read.parquet(out2)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 3 not in ids and len(ids) == 2
+    assert kept.schema["avg_nll_i4"].dataType.typeName() == "long"
+
+    # (b) the persisted model equals one trained on the SURVIVORS only
+    expect_model = str(tmp_path / "model_expect")
+    save_lm_artifact(
+        kept.select("doc_id", "text"), expect_model
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(model)
+        .select("kind", "w1", "w2", "cnt").collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(expect_model)
+        .select("kind", "w1", "w2", "cnt").collect()
+    }
+    assert got == want
+    # junk bigrams are absent from the shipped model
+    assert not any(k == "bigram" and w1 == "zz" for k, w1, _, _ in got)
