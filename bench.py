@@ -456,6 +456,13 @@ def main() -> None:
     # ... and the LAST line is the compact parse target
     compact = dict(core)
     compact["big_point"] = {k: v for k, v in big.items() if k != "basis"}
+    # strip EVERY embedded prose basis, not just big_point's — the
+    # compact line exists because prose pushed r4's final line past the
+    # driver's tail-capture window (parsed: null)
+    if isinstance(compact.get("multimodal"), dict):
+        compact["multimodal"] = {
+            k: v for k, v in compact["multimodal"].items() if k != "basis"
+        }
     compact["basis"] = (
         f"see {os.path.basename(out_path)}"
         if artifact_written

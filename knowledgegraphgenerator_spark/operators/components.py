@@ -321,6 +321,13 @@ def integer_pagerank(
             )
             .localCheckpoint()
         )
+    if persist:
+        # the iterates are checkpoint-backed (and the n_iters=0 seed
+        # recomputes from source) — drop the edge/node caches so
+        # repeated calls in one session (full gate, bench repeats)
+        # don't accumulate dead cached partitions
+        nt.unpersist()
+        nodes.unpersist()
     return pr
 
 
@@ -424,6 +431,11 @@ def integer_hits(
             .agg(F.sum("hub").alias("raw"))
         )
         auth = _normalize(a_raw, "auth")
+    if persist:
+        # same cache hygiene as integer_pagerank: iterates are
+        # checkpoint-backed, seeds recompute — release the caches
+        nt.unpersist()
+        nodes.unpersist()
     return (
         hub.join(auth, "entity")
         .select("entity", "hub", "auth")

@@ -255,17 +255,29 @@ def append_retrieval_tables(
     postings frame is persisted across the two writes so the token
     stream is read once."""
     from knowledgegraphgenerator_spark.operators.triples import (
+        table_bucket_spec,
         write_bucketed_table,
     )
 
     spark = tokens.sparkSession
+    # the STORE owns its bucket spec: when the postings table exists,
+    # its catalog spec overrides the caller's n_buckets — otherwise a
+    # mere flag mismatch (index CLI defaults 32, ingest --index-buckets
+    # defaults 8) makes every append die on an AnalysisException
+    if spark.catalog.tableExists(postings_table):
+        _, n_buckets = table_bucket_spec(spark, postings_table)
     # idempotence guard: drop batch docs the doc-length table already
     # holds. A doclen entry implies the doc's postings committed (the
     # postings append precedes the doclen append below), so a FULL
     # replay of an already-applied batch — the foreachBatch retry case
     # — is a no-op instead of a silent double-append that would
     # double-count tf and df. The probe is a batch-sized left_anti
-    # against the doc_id-bucketed table.
+    # against the doc_id-bucketed table. SOUNDNESS depends on doclen
+    # not lagging the committed postings: after a crash between the
+    # two appends the caller must run repair_retrieval_store before
+    # retrying — in-process failures do it in their handler, and a
+    # NEW process must do it once before its first append (the ingest
+    # stream does; see streaming/incremental.py).
     if spark.catalog.tableExists(dl_table):
         seen = spark.table(dl_table).select("doc_id")
         tokens = tokens.join(seen, "doc_id", "left_anti")

@@ -308,13 +308,19 @@ def incremental_ingest_dedup(
     composes: the corpus write is exactly-once by partition overwrite,
     and the index append's doc-length guard makes a replayed batch a
     no-op; if an append fails mid-way the handler runs
-    repair_retrieval_store before re-raising, so the stream's
-    automatic retry is exactly-once at every crash point. Caveat: on
+    repair_retrieval_store before re-raising, AND each stream PROCESS
+    runs the same repair once before its first append — covering the
+    crash points the in-process handler cannot (killed between the
+    two appends, or death of the repairing process itself), since a
+    doclen table that lags the committed postings would otherwise let
+    the retried batch re-append postings and double-count tf/df. With
+    both, the retry is exactly-once at every crash point. Caveat: on
     the default in-memory catalog the store's CATALOG ENTRY dies with
     the process — a restarted stream fails loudly on the first append
     (append requires an existing catalog table) rather than forking a
-    batch-only store; cross-restart streaming indexing needs a shared
-    metastore (or rebuild via the `index` CLI, then restart).
+    batch-only store; cross-restart streaming indexing REQUIRES a
+    shared metastore (an `index` CLI rebuild cannot help: its catalog
+    entry dies with its own process too).
     """
     from knowledgegraphgenerator_spark.operators.dedup import (
         admit_batch,
@@ -393,6 +399,9 @@ def incremental_ingest_dedup(
             and n.startswith("batch_id=")
             and n != f"batch_id={batch_id}"
         ]
+
+    # one-shot restart-time store verification flag (see _index)
+    _store_verified = False
 
     def _admit(batch_df, batch_id: int) -> None:
         if bench is not None:
@@ -503,15 +512,32 @@ def incremental_ingest_dedup(
                         raise ValueError(
                             f"retrieval table {t!r} has warehouse "
                             "data but no catalog entry — an orphaned "
-                            "store from a previous process; rebuild "
-                            "it (index CLI) or run with a shared "
-                            "metastore instead of silently forking a "
-                            "batch-only store"
+                            "store from a previous process. Streaming "
+                            "--index across restarts needs a SHARED "
+                            "metastore (an in-memory catalog cannot "
+                            "re-adopt the directory, and an `index` "
+                            "CLI rebuild dies with ITS process too); "
+                            "refusing to silently fork a batch-only "
+                            "store"
                         )
                 write_retrieval_tables(
                     toks, post_t, dl_t, n_buckets=index_buckets
                 )
                 return
+            nonlocal _store_verified
+            if not _store_verified:
+                # RESTART-time repair: a previous PROCESS may have
+                # died after the postings append committed but before
+                # the doclen append (the in-process except-repair
+                # below never ran). The append guard filters on
+                # doclen, so without this rebuild the retried batch
+                # would re-append its postings and silently
+                # double-count tf/df. Postings-sized, once per stream
+                # process — it makes the exactly-once claim true at
+                # every crash point, including death of the repairing
+                # process itself.
+                repair_retrieval_store(spark, post_t, dl_t)
+                _store_verified = True
             try:
                 append_retrieval_tables(
                     toks, post_t, dl_t, n_buckets=index_buckets

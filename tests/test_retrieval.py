@@ -465,3 +465,41 @@ def test_integer_hits_zero_iters_returns_seed(spark):
         for r in integer_hits(edges, n_iters=0).collect()
     }
     assert got == {"a": (500000, 500000), "b": (500000, 500000)}
+
+
+def test_append_resolves_bucket_spec_from_catalog(spark):
+    """The store owns its bucket spec: appending with a mismatched
+    n_buckets flag (index CLI defaults 32, ingest --index-buckets 8)
+    must follow the catalog spec instead of dying on an
+    AnalysisException, and the store stays value-equal to a rebuild."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        append_retrieval_tables,
+        write_retrieval_tables,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        table_bucket_spec,
+    )
+
+    toks = _tokens_df(spark)
+    write_retrieval_tables(
+        toks.where(F.col("doc_id") != 3),
+        "t_spec_post", "t_spec_dl", n_buckets=4,
+    )
+    append_retrieval_tables(
+        toks.where(F.col("doc_id") == 3),
+        "t_spec_post", "t_spec_dl", n_buckets=8,  # mismatched flag
+    )
+    assert table_bucket_spec(spark, "t_spec_post")[1] == 4
+    write_retrieval_tables(toks, "t_spec_post_f", "t_spec_dl_f",
+                           n_buckets=4)
+    got = {
+        tuple(r)
+        for r in spark.table("t_spec_post").collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.table("t_spec_post_f").collect()
+    }
+    assert got == want

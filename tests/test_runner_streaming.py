@@ -1016,3 +1016,81 @@ def test_incremental_ingest_quality_gated(spark, tmp_path):
             spark, src, corpus, str(tmp_path / "ckpt2"),
             lm_artifact_dir=model,
         )
+
+
+def test_incremental_ingest_index_restart_repair(spark, tmp_path):
+    """Cross-process crash between the two index appends: a previous
+    process died after batch B's POSTINGS committed but before its
+    doclen append (and before any in-process repair). The doclen-based
+    idempotence guard alone would let the restarted stream re-append
+    B's postings and silently double tf/df — the restart-time repair
+    (one per stream process) must close the hole: after the restarted
+    stream processes B, the postings hold NO duplicate (term, doc_id)
+    rows and doclen is exactly sum(tf) per doc over postings."""
+    import pyspark.sql.functions as F
+
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        build_postings,
+        tokenize_whitespace,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        write_bucketed_table,
+    )
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        incremental_ingest_dedup,
+    )
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [
+                (i, f"https://x/{i}",
+                 "2026-01-01 00:00:00", None, t, "en")
+                for i, t in rows
+            ],
+            "doc_id long, url string, warc_ts string, html binary,"
+            " text string, lang string",
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    batch_a = [(1, "alpha beta gamma delta"),
+               (2, "beta gamma epsilon zeta")]
+    batch_b = [(3, "alpha zeta eta theta iota")]
+    tables = ("t_rr_post", "t_rr_dl")
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    pages(batch_a).write.mode("overwrite").parquet(src)
+    incremental_ingest_dedup(
+        spark, src, corpus, ckpt, index_tables=tables, index_buckets=2
+    )
+
+    # simulate the crashed half-append of batch B: postings committed,
+    # doclen NOT (exactly append_retrieval_tables' first write)
+    post_b = build_postings(
+        tokenize_whitespace(pages(batch_b).select("doc_id", "text"))
+    ).repartition(2, F.col("term"))
+    write_bucketed_table(post_b, tables[0], "term", 2, mode="append")
+
+    # "restart": B's files arrive and a NEW stream invocation runs
+    pages(batch_b).write.mode("append").parquet(src)
+    incremental_ingest_dedup(
+        spark, src, corpus, ckpt, index_tables=tables, index_buckets=2
+    )
+
+    post = spark.table(tables[0])
+    dup = (
+        post.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0, "postings double-appended on restart"
+    dl = {(r["doc_id"], r["dl"]) for r in spark.table(tables[1]).collect()}
+    want = {
+        (r["doc_id"], r["dl"])
+        for r in post.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .collect()
+    }
+    assert dl == want, "doclen is not the pure function of postings"
+    assert {d for d, _ in dl} == {1, 2, 3}
