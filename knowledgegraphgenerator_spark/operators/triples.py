@@ -330,6 +330,13 @@ def write_bucketed_table(
             .sortBy(bucket_col)
             .saveAsTable(table)
         )
+        # a same-session READ of the table before this append (the
+        # repair's postings scan, the idempotence guard's doclen probe)
+        # caches the relation's FILE LISTING, and saveAsTable(append)
+        # does not invalidate it — without an explicit refresh the next
+        # read silently misses the appended files (observed: postings
+        # append "lost" after a restart-time repair had read the table)
+        spark.catalog.refreshTable(table)
         return
     if mode != "overwrite":
         raise ValueError(f"unsupported mode {mode!r}")

@@ -542,6 +542,14 @@ def incremental_ingest_dedup(
                 append_retrieval_tables(
                     toks, post_t, dl_t, n_buckets=index_buckets
                 )
+                # foreachBatch writes through a CLONED session whose
+                # relation-cache refresh does not reach THIS session's
+                # cache — and the restart repair above read both
+                # tables through this session, caching the pre-append
+                # file listings. Refresh here or the post-stream reads
+                # silently miss every appended file.
+                for t in (post_t, dl_t):
+                    spark.catalog.refreshTable(t)
             except Exception:
                 repair_retrieval_store(spark, post_t, dl_t)
                 raise

@@ -1056,6 +1056,21 @@ def test_incremental_ingest_index_restart_repair(spark, tmp_path):
     batch_b = [(3, "alpha zeta eta theta iota")]
     tables = ("t_rr_post", "t_rr_dl")
 
+    # clear warehouse leftovers from a previous test PROCESS (the
+    # orphaned-store case the stream refuses by design)
+    import shutil
+
+    from knowledgegraphgenerator_spark.operators.triples import (
+        managed_table_location,
+    )
+
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            managed_table_location(spark, t).removeprefix("file:"),
+            ignore_errors=True,
+        )
+
     src = str(tmp_path / "src")
     corpus = str(tmp_path / "corpus")
     ckpt = str(tmp_path / "ckpt")
