@@ -21,6 +21,8 @@ only loses pairs that other, more selective bands almost surely recover).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,6 +57,44 @@ def token_shingles(
     )
 
 
+def minhash_wide(
+    shingles: DataFrame, id_col: str, k: int = 16
+) -> DataFrame:
+    """(id, mh0..mh{k-1}): all k permutation minima in ONE hash
+    aggregate (guide §2.3 'aggregate before you shuffle').
+
+    Value-identical to the historical long form (same affine maps
+    ``(2j+3)*h + 104729*(j+1) mod P`` over ``pmod(xxhash64(shingle),
+    P)``), but the k minima are k ``min`` agg expressions over ONE pass
+    instead of a k-way crossJoin row explosion: the shuffle input
+    collapses map-side to one row per (mapper, doc) — the r5 plan
+    generated k x |shingles| rows and shuffled (doc, j) keys, then paid
+    a SECOND shuffle to band them (r5 bench, sf1.0: minhash_scale alone
+    1.8 s, and the chain queries paid it twice per side of the band
+    self-join).
+
+    ``h`` is PROJECTED once per shingle row before the aggregate —
+    referencing the xxhash expression inside each of the k agg
+    expressions re-evaluates the hash k times per row (measured at
+    sf1.0 k=16: 5.7 s expression form vs projected form back at the
+    crossJoin baseline)."""
+    hashed = shingles.select(
+        id_col,
+        F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)).alias("h"),
+    )
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(2 * j + 3) * F.col("h") + F.lit(104729 * (j + 1)),
+                    F.lit(MINHASH_P),
+                )
+            ).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, k: int = 16
 ) -> DataFrame:
@@ -62,29 +102,26 @@ def minhash_signatures(
 
     Fixed odd multipliers (2j+3) and offsets over a Mersenne-prime field;
     xxhash64 gives the base uniformity, the affine maps decorrelate the k
-    minima. Map-side partial agg collapses each doc's shingles before the
-    shuffle.
+    minima. Since r6 this is a narrow posexplode of :func:`minhash_wide`
+    (one shuffle, no k-way row explosion); values are identical to the
+    historical crossJoin form.
     """
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P))
-    base = shingles.withColumn("h", h)
-    perms = shingles.sparkSession.createDataFrame(
-        [(j, 2 * j + 3, 104729 * (j + 1)) for j in range(k)],
-        "j int, a long, b long",
-    )
-    return (
-        base.crossJoin(F.broadcast(perms))
-        .groupBy(id_col, "j")
-        .agg(
-            F.min(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MINHASH_P)))
-            .alias("mh")
-        )
+    wide = minhash_wide(shingles, id_col, k)
+    return wide.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"mh{j}") for j in range(k)])).alias(
+            "j", "mh"
+        ),
     )
 
 
 def _banded_signatures(
     signatures: DataFrame, id_col: str, rows_per_band: int
 ) -> DataFrame:
-    """(id, band, sig): concatenated per-band minhash rows."""
+    """(id, band, sig): concatenated per-band minhash rows, from the
+    LONG (id, j, mh) form — kept for precomputed/stored long-format
+    inputs; chain operators band narrowly from the wide form instead
+    (:func:`_banded_from_wide`)."""
     return (
         signatures.withColumn(
             "band", (F.col("j") / rows_per_band).cast("int")
@@ -102,27 +139,91 @@ def _banded_signatures(
     )
 
 
+def _banded_from_wide(
+    wide: DataFrame, id_col: str, rows_per_band: int, k: int
+) -> DataFrame:
+    """(id, band, sig) derived NARROWLY from the wide signature row —
+    no groupBy: the band concat is a per-row expression, so banding
+    costs zero Exchanges on top of :func:`minhash_wide`'s single one.
+    Sig strings are byte-identical to :func:`_banded_signatures` (same
+    '-' joins in j order)."""
+    entries = []
+    for b in range(math.ceil(k / rows_per_band)):
+        cols = [
+            F.col(f"mh{j}")
+            for j in range(b * rows_per_band, min(k, (b + 1) * rows_per_band))
+        ]
+        entries.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws("-", *cols).alias("sig"),
+            )
+        )
+    return wide.select(
+        id_col, F.explode(F.array(*entries)).alias("e")
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.sig").alias("sig"))
+
+
+def _pairs_from_banded(
+    banded: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """(band, sig) buckets → unordered candidate pairs (id_a < id_b).
+
+    ONE groupBy(band, sig) + a narrow in-bucket pair expansion replaces
+    the r5 band SELF-JOIN, which recomputed the whole signature chain
+    once per join side and paid two sort-merge Exchanges (guide §2.4
+    'two operations keyed the same way can share one exchange'). The
+    bucket-size guard is now a filter on the collected list instead of
+    a separate count + semi-join pass. A bucket of B docs still yields
+    B(B-1)/2 pair rows, exactly as the self-join did — the guard bounds
+    B, and collecting B ids is strictly smaller state than the join's
+    B² intermediate rows."""
+    buckets = banded.groupBy("band", "sig").agg(
+        F.collect_list(F.col(id_col)).alias("ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+    )
+    return (
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     rows_per_band: int = 2,
     max_bucket: int | None = 1000,
 ) -> DataFrame:
-    """Band signatures → equi-join on (band, band_sig) → (id_a, id_b)."""
+    """Band signatures → bucket grouping → in-bucket pair expansion →
+    (id_a, id_b). Accepts the LONG (id, j, mh) signature form; chain
+    operators skip the long form entirely via
+    :func:`lsh_candidate_pairs_from_wide`."""
     banded = _banded_signatures(signatures, id_col, rows_per_band)
-    if max_bucket is not None:
-        sizes = banded.groupBy("band", "sig").agg(
-            F.count(F.lit(1)).alias("bn")
-        ).where(F.col("bn") <= max_bucket)
-        banded = banded.join(sizes.select("band", "sig"), ["band", "sig"], "semi")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
-    return (
-        a.join(b, ["band", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _pairs_from_banded(banded, id_col, max_bucket)
+
+
+def lsh_candidate_pairs_from_wide(
+    wide: DataFrame,
+    id_col: str,
+    rows_per_band: int,
+    k: int,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs straight from the WIDE signature row: banding is
+    narrow (:func:`_banded_from_wide`), so the whole
+    signatures→candidates path is minhash_wide's groupBy(id) + one
+    groupBy(band, sig) + the output distinct — 3 Exchanges end to end
+    vs ~12 in the r5 self-join form."""
+    banded = _banded_from_wide(wide, id_col, rows_per_band, k)
+    return _pairs_from_banded(banded, id_col, max_bucket)
 
 
 def verify_jaccard(
@@ -133,18 +234,35 @@ def verify_jaccard(
     threshold_den: int = 10,
 ) -> DataFrame:
     """Integer-exact Jaccard on candidates:
-    keep pairs with inter/union >= num/den (no floats)."""
+    keep pairs with inter/union >= num/den (no floats).
+
+    r6: candidates are prefiltered by the SOUND size-compatibility
+    bound before the (heavy) intersection join — inter <= min(na, nb)
+    and union >= max(na, nb), so a pair can only pass the threshold if
+    ``den * min(na, nb) >= num * max(na, nb)``; dropping the rest
+    cannot change the result and removes their shingle-expansion rows
+    before the intersection shuffle (guide §2.3 'shuffle fewer
+    bytes')."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    cand = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.least("na", "nb") * threshold_den
+            >= F.greatest("na", "nb") * threshold_num
+        )
+        .select("id_a", "id_b")
+    )
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        pairs.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
         inter.join(na, "id_a").join(nb, "id_b")
         .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
@@ -155,32 +273,109 @@ def verify_jaccard(
     )
 
 
+def verify_jaccard_cooccur(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """:func:`verify_jaccard` computed via shingle CO-OCCURRENCE
+    counting instead of per-candidate shingle expansion — output
+    identical (same (id_a, id_b, inter, union_n) rows for candidate
+    pairs passing the threshold).
+
+    When each form wins (both measured at sf1.0, BENCH in
+    OPTIMIZATION_r06.md): the expansion form's intersection join
+    generates ``sum over candidates of |sh(a)|`` rows; the co-occurrence
+    form generates ``sum over shingles of df*(df-1)/2`` rows. Recall-max
+    banding (rows_per_band=1, no bucket guard — the oracle-gated chain
+    configs) over a small hot vocabulary produces candidate sets so
+    large (sf1.0: 13.9M candidates x ~52 shingles/doc ≈ 730M expansion
+    rows vs 127M co-occurrence rows) that co-occurrence is ~5x cheaper.
+    With steep guarded banding (production: rows_per_band>=2,
+    max_bucket on) candidates are few and the expansion form is the
+    scale-safe choice — a single 10^9-df boilerplate shingle makes the
+    co-occurrence sum quadratic, which is exactly what candidate
+    bounding exists to avoid.
+
+    The size-compatibility prefilter (sound: inter <= min, union >=
+    max) drops can't-pass pairs BEFORE the pair-count shuffle; the
+    candidate restriction is an equi-join on the (id_a, id_b) key after
+    counting. Pairs with zero shared shingles appear in neither form
+    (inner joins), and cannot pass any threshold_num >= 1."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+    )
+    co = (
+        shingles.groupBy("shingle")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    inter = (
+        co.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.least("na", "nb") * threshold_den
+            >= F.greatest("na", "nb") * threshold_num
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "semi")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .where(
+            F.col("inter") * threshold_den >= F.col("union_n") * threshold_num
+        )
+        .select("id_a", "id_b", "inter", "union_n")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash: weighted per-bit majority over xxhash64(token)."""
+    """64-bit SimHash: weighted per-bit majority over xxhash64(token).
+
+    r6 shape (output identical): per-bit contributions are linear in
+    the token weight, so the per-(id, token) weighting groupBy, the
+    64-way bit crossJoin, and the stacked (id, bit) → id aggregations
+    all collapse into ONE groupBy(id) with 64 ``sum(±1)`` agg
+    expressions over the raw token stream — one map-side-combined
+    shuffle instead of three, no row explosion (guide §2.3)."""
     toks = (
-        df.select(F.col(id_col), F.explode(F.split(text_col, r"\s+")).alias("tok"))
+        df.select(
+            F.col(id_col), F.explode(F.split(text_col, r"\s+")).alias("tok")
+        )
         .where(F.col("tok") != "")
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", F.xxhash64("tok"))
     )
-    bits = df.sparkSession.range(64).select(F.col("id").cast("int").alias("bit"))
-    return (
-        toks.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "contrib",
-            F.when(F.expr("(h >> bit) & 1") == 1, F.col("w"))
-            .otherwise(-F.col("w")),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy(id_col)
-        .agg(
+    per_bit = toks.groupBy(id_col).agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
     )
+    simhash = None
+    for b in range(64):
+        # shiftleft(1L, 63) wraps to Long.MIN exactly as the historical
+        # bit-exploded sum did — a python literal 1 << 63 would not fit
+        term = F.when(
+            F.col(f"s{b}") > 0, F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return per_bit.select(id_col, simhash.alias("simhash"))
 
 
 def near_dedup(
@@ -199,10 +394,18 @@ def near_dedup(
     transitive closure (connected components) lives in
     operators/components.py — pairwise-min is the cheap 1-hop
     approximation appropriate for one dedup sweep.
+
+    r6: the shingle set is persisted (it feeds BOTH the signature path
+    and the Jaccard verify — unpersisted, the split+explode+distinct
+    ran twice per action) and signatures ride the wide single-shuffle
+    path (guide §2.4). Spark's cache manager dedups the persist by
+    plan, so repeated calls reuse one entry rather than accumulating.
     """
-    sh = token_shingles(df, text_col, id_col, shingle_n)
-    sigs = minhash_signatures(sh, id_col, k)
-    pairs = lsh_candidate_pairs(sigs, id_col, rows_per_band)
+    sh = token_shingles(df, text_col, id_col, shingle_n).persist()
+    wide = minhash_wide(sh, id_col, k)
+    pairs = lsh_candidate_pairs_from_wide(
+        wide, id_col, rows_per_band, k, max_bucket=1000
+    )
     dups = verify_jaccard(pairs, sh, id_col, threshold_num, threshold_den)
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "anti")
@@ -218,6 +421,7 @@ def crawl_dedup(
     threshold_num: int = 8,
     threshold_den: int = 10,
     max_bucket: int | None = 10_000,
+    verify_variant: str = "expand",
 ) -> DataFrame:
     """Crawl-order corpus dedup: EXACT hash dedup first, THEN MinHash
     near-dedup over the exact survivors — one operator so the ordering
@@ -236,14 +440,28 @@ def crawl_dedup(
     ``max_bucket`` passes through to the LSH band join (degenerate
     hot-bucket guard); the oracle-gated query disables it for exact
     recall, production keeps it on.
+
+    r6: ``uniq`` (referenced by the shingle path AND the final
+    anti-join) and ``sh`` (signature path AND verify) are persisted —
+    unpersisted, one action recomputed the exact-dedup groupBy+semi
+    three times and the shingle explode twice (the r5 sf1.0 bench paid
+    90.2 s here); signatures ride the wide single-shuffle path.
+    ``verify_variant="cooccur"`` selects the co-occurrence verify form
+    (:func:`verify_jaccard_cooccur` — right for recall-max unguarded
+    banding over hot vocabularies; default "expand" is the
+    candidate-bounded production shape).
     """
-    uniq = exact_dedup(df, text_col, id_col)
-    sh = token_shingles(uniq, text_col, id_col, shingle_n)
-    sigs = minhash_signatures(sh, id_col, k)
-    pairs = lsh_candidate_pairs(
-        sigs, id_col, rows_per_band, max_bucket=max_bucket
+    uniq = exact_dedup(df, text_col, id_col).persist()
+    sh = token_shingles(uniq, text_col, id_col, shingle_n).persist()
+    wide = minhash_wide(sh, id_col, k)
+    pairs = lsh_candidate_pairs_from_wide(
+        wide, id_col, rows_per_band, k, max_bucket=max_bucket
     )
-    dups = verify_jaccard(pairs, sh, id_col, threshold_num, threshold_den)
+    verify = (
+        verify_jaccard_cooccur if verify_variant == "cooccur"
+        else verify_jaccard
+    )
+    dups = verify(pairs, sh, id_col, threshold_num, threshold_den)
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return uniq.join(drop, id_col, "anti")
 
@@ -278,11 +496,11 @@ def incremental_neardup_pairs(
     """
     sh_new = token_shingles(new_df, text_col, id_col, shingle_n)
     sh_old = token_shingles(old_df, text_col, id_col, shingle_n)
-    band_new = _banded_signatures(
-        minhash_signatures(sh_new, id_col, k), id_col, rows_per_band
+    band_new = _banded_from_wide(
+        minhash_wide(sh_new, id_col, k), id_col, rows_per_band, k
     )
-    band_old = _banded_signatures(
-        minhash_signatures(sh_old, id_col, k), id_col, rows_per_band
+    band_old = _banded_from_wide(
+        minhash_wide(sh_old, id_col, k), id_col, rows_per_band, k
     )
     return incremental_neardup_pairs_from_parts(
         sh_new, band_new, sh_old, band_old, id_col,
@@ -391,8 +609,8 @@ def batch_signature_parts(
     k=16, rows_per_band=1): stored bands are only comparable to query
     bands computed with identical parameters."""
     sh = token_shingles(df, text_col, id_col, shingle_n)
-    bands = _banded_signatures(
-        minhash_signatures(sh, id_col, k), id_col, rows_per_band
+    bands = _banded_from_wide(
+        minhash_wide(sh, id_col, k), id_col, rows_per_band, k
     )
     return sh, bands
 

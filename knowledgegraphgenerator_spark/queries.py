@@ -159,7 +159,15 @@ _BIGRAM_DICT_SQL = (
 
 
 def _shingles(spark, sf_dir):
-    """Distinct (doc_id, shingle) token 3-gram shingles."""
+    """Distinct (doc_id, shingle) token 3-gram shingles.
+
+    Persisted (r6): five queries derive from this exact plan
+    (jaccard_pairs, trigram_count, dup_ngram_fraction, and the
+    dense-id minhash family via _shingle_ids) and the distinct is a
+    full shuffle of the exploded shingle set — Spark's cache manager
+    dedups by canonicalized plan, so all of them share ONE entry and
+    only the first action pays the materialization (the same pattern
+    the r5 neardup chain queries already used)."""
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
@@ -174,6 +182,7 @@ def _shingles(spark, sf_dir):
             ).alias("shingle"),
         )
         .distinct()
+        .persist()
     )
 
 
@@ -214,20 +223,34 @@ _SHINGLE_IDS_SQL = (
 )
 
 
-def _minhash(spark, sf_dir):
-    """(doc_id, j, mh) — 8 permutation minhashes over shingle ids."""
+def _minhash_wide(spark, sf_dir):
+    """(doc_id, mh0..mh7) — 8 permutation minhashes over shingle ids in
+    ONE hash aggregate (guide §2.3): the 8 minima are 8 ``min`` agg
+    expressions over one pass instead of an 8-way crossJoin row
+    explosion + (doc_id, j) shuffle. Values identical to the historical
+    long form (same ``(a*sid + b) % P`` maps)."""
     ids = _shingle_ids(spark, sf_dir)
-    params = ids.sparkSession.createDataFrame(
-        [(j, MINHASH_A[j], MINHASH_B[j]) for j in range(8)],
-        "j int, a long, b long",
+    return ids.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (
+                    F.lit(MINHASH_A[j]).cast("long") * F.col("sid")
+                    + F.lit(MINHASH_B[j]).cast("long")
+                )
+                % MINHASH_P
+            ).alias(f"mh{j}")
+            for j in range(8)
+        ]
     )
-    return (
-        ids.crossJoin(F.broadcast(params))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min((F.col("a") * F.col("sid") + F.col("b")) % MINHASH_P)
-            .alias("mh")
-        )
+
+
+def _minhash(spark, sf_dir):
+    """(doc_id, j, mh) — narrow posexplode of :func:`_minhash_wide`."""
+    return _minhash_wide(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{j}") for j in range(8)])
+        ).alias("j", "mh"),
     )
 
 
@@ -407,39 +430,80 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):
-    """LSH banding (4 bands x 2 rows) → candidate near-dup pairs."""
-    mh = _minhash(spark, sf_dir)
-    even = mh.where(F.col("j") % 2 == 0).select(
-        "doc_id", (F.col("j") / 2).cast("int").alias("band"),
-        F.col("mh").alias("h0"))
-    odd = mh.where(F.col("j") % 2 == 1).select(
-        "doc_id", ((F.col("j") - 1) / 2).cast("int").alias("band"),
-        F.col("mh").alias("h1"))
-    sigs = even.join(odd, ["doc_id", "band"])
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "h0", "h1")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "h0", "h1")
+    """LSH banding (4 bands x 2 rows) → candidate near-dup pairs.
+
+    r6 shape: bands derive NARROWLY from the wide minhash row (the r5
+    even/odd split + self-join recomputed the minhash chain — and its
+    global shingle-id window — four times per action), and the band
+    self-join is replaced by groupBy(band, h0, h1) + in-bucket pair
+    expansion (guide §2.4). Output pairs identical."""
+    wide = _minhash_wide(spark, sf_dir)
+    bands = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.col(f"mh{2 * b}").alias("h0"),
+                        F.col(f"mh{2 * b + 1}").alias("h1"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.h0", "e.h1")
+    buckets = bands.groupBy("band", "h0", "h1").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+    )
     return (
-        a.join(b, ["band", "h0", "h1"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs, all-integer (>= 0.8 as 10*i >= 8*u)."""
+    """n-gram Jaccard near-dup pairs, all-integer (>= 0.8 as 10*i >= 8*u).
+
+    r6 shape (output identical): the shingle self-join is replaced by
+    groupBy(shingle) + in-bucket pair expansion (one shuffle of the
+    shingle set instead of two + the join), the shingle frame is
+    persisted (it fed three derivations), and generated pair rows are
+    prefiltered by the SOUND size-compatibility bound
+    ``10 * min(na, nb) >= 8 * max(na, nb)`` (inter <= min, union >=
+    max, so incompatible pairs cannot pass the final threshold) via a
+    broadcast of the per-doc size table BEFORE the pair-count shuffle
+    (guide §2.3 / §3.2)."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+    )
+    pair_rows = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        pair_rows.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 8)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
         inter.join(na, "doc_a").join(nb, "doc_b")
         .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
@@ -449,7 +513,14 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_simhash16(spark, sf_dir):
-    """16-bit SimHash from dense token ids, token-frequency weighted."""
+    """16-bit SimHash from dense token ids, token-frequency weighted.
+
+    r6 shape (output identical): the 16 per-bit contribution sums are
+    16 ``sum`` agg expressions in ONE groupBy(doc_id) instead of a
+    16-way crossJoin row explosion + two stacked shuffles
+    ((doc_id, bit) then doc_id) — contributions are linear in the
+    weight, so summing ±w per bit in one pass is exactly the old
+    bit-exploded sum (guide §2.3 'aggregate before you shuffle')."""
     toks = _tokens(spark, sf_dir)
     ids = (
         toks.select("term").distinct()
@@ -462,25 +533,23 @@ def q_simhash16(spark, sf_dir):
         .join(ids, "term")
         .withColumn("h", (F.col("tid") * SIMHASH_MULT) % 65536)
     )
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    return (
-        weighted.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "contrib",
-            F.when(
-                F.expr("(h >> bit) & 1") == 1, F.col("w")
-            ).otherwise(-F.col("w")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    per_bit = weighted.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)"))
-                .otherwise(0)
-            ).alias("simhash")
-        )
+                F.when(
+                    F.expr(f"(h >> {b}) & 1") == 1, F.col("w")
+                ).otherwise(-F.col("w"))
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
     )
+    simhash = None
+    for b in range(16):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return per_bit.select("doc_id", simhash.alias("simhash"))
 
 
 def q_neardup_pairs_scale(spark, sf_dir):
@@ -492,20 +561,24 @@ def q_neardup_pairs_scale(spark, sf_dir):
     gates the whole chain value-for-value even though the minhash values
     themselves are engine-specific."""
     from knowledgegraphgenerator_spark.operators.dedup import (
-        lsh_candidate_pairs as lsh_pairs_op,
-        minhash_signatures as minhash_op,
+        lsh_candidate_pairs_from_wide,
+        minhash_wide,
         token_shingles,
-        verify_jaccard,
+        verify_jaccard_cooccur,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
-    sigs = minhash_op(sh, "doc_id", k=16)
+    wide = minhash_wide(sh, "doc_id", k=16)
     # rows_per_band=1: recall-max banding; bucket guard off because the
     # oracle needs exact recall (the guard is a scale safety valve for
     # adversarial hot buckets, tested separately)
-    pairs = lsh_pairs_op(sigs, "doc_id", rows_per_band=1, max_bucket=None)
-    return verify_jaccard(pairs, sh, "doc_id", 8, 10)
+    pairs = lsh_candidate_pairs_from_wide(
+        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None
+    )
+    # recall-max banding over a hot vocabulary -> the co-occurrence
+    # verify form (see operators/dedup.verify_jaccard_cooccur docstring)
+    return verify_jaccard_cooccur(pairs, sh, "doc_id", 8, 10)
 
 
 def q_dedup_chain(spark, sf_dir):
@@ -521,7 +594,8 @@ def q_dedup_chain(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return crawl_dedup(
-        docs, "text", "doc_id", k=16, rows_per_band=1, max_bucket=None
+        docs, "text", "doc_id", k=16, rows_per_band=1, max_bucket=None,
+        verify_variant="cooccur",
     )
 
 
@@ -558,17 +632,19 @@ def q_neardup_components(spark, sf_dir):
         connected_components,
     )
     from knowledgegraphgenerator_spark.operators.dedup import (
-        lsh_candidate_pairs as lsh_pairs_op,
-        minhash_signatures as minhash_op,
+        lsh_candidate_pairs_from_wide,
+        minhash_wide,
         token_shingles,
-        verify_jaccard,
+        verify_jaccard_cooccur,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
-    sigs = minhash_op(sh, "doc_id", k=16)
-    pairs = lsh_pairs_op(sigs, "doc_id", rows_per_band=1, max_bucket=None)
-    verified = verify_jaccard(pairs, sh, "doc_id", 8, 10)
+    wide = minhash_wide(sh, "doc_id", k=16)
+    pairs = lsh_candidate_pairs_from_wide(
+        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None
+    )
+    verified = verify_jaccard_cooccur(pairs, sh, "doc_id", 8, 10)
     return connected_components(verified, "id_a", "id_b").select(
         "id", "component"
     )
@@ -1699,17 +1775,19 @@ def q_neardup_keep_best(spark, sf_dir):
         keep_best_per_cluster,
     )
     from knowledgegraphgenerator_spark.operators.dedup import (
-        lsh_candidate_pairs as lsh_pairs_op,
-        minhash_signatures as minhash_op,
+        lsh_candidate_pairs_from_wide,
+        minhash_wide,
         token_shingles,
-        verify_jaccard,
+        verify_jaccard_cooccur,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
-    sigs = minhash_op(sh, "doc_id", k=16)
-    pairs = lsh_pairs_op(sigs, "doc_id", rows_per_band=1, max_bucket=None)
-    verified = verify_jaccard(pairs, sh, "doc_id", 8, 10)
+    wide = minhash_wide(sh, "doc_id", k=16)
+    pairs = lsh_candidate_pairs_from_wide(
+        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None
+    )
+    verified = verify_jaccard_cooccur(pairs, sh, "doc_id", 8, 10)
     labels = connected_components(verified, "id_a", "id_b")
     scores = docs.select(
         F.col("doc_id").alias("id"),
