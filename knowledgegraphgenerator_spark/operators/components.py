@@ -131,13 +131,17 @@ def keep_best_per_cluster(
     max-over-struct aggregate on the component key — map-side partial
     max collapses a pathological 10^6-member clone cluster to one row
     per mapper before the shuffle, where a row_number window would
-    serialize it onto a single task. ``id_col`` must be non-negative
-    (the tie-break negates it)."""
+    serialize it onto a single task. The tie-break uses the
+    bitwise-NOT ordering ``-1 - id`` (ADVICE r5): a total,
+    overflow-free reversal of int64 order, so negative ids (e.g.
+    xxhash64-derived) break ties correctly — the old ``-id`` inverted
+    them and overflowed on Long.MIN."""
     m = labels.join(scores, id_col, "left")
     w = F.when(
         F.col(score_col).isNotNull(),
         F.struct(
-            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+            F.col(score_col).alias("s"),
+            (F.lit(-1).cast("long") - F.col(id_col)).alias("neg_id"),
         ),
     )
     return (
@@ -148,7 +152,7 @@ def keep_best_per_cluster(
         )
         .select(
             comp_col,
-            (-F.col("w.neg_id")).alias("kept_id"),
+            (F.lit(-1).cast("long") - F.col("w.neg_id")).alias("kept_id"),
             F.col("w.s").alias("best_score"),
             "n_members",
         )

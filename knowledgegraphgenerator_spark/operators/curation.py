@@ -673,11 +673,13 @@ def latest_snapshot_per_url(
     row_number window, the partial max runs map-side, so a hot URL
     (a clone-farm page crawled 10^6 times) collapses to one row per
     mapper before the shuffle — no single-task window partition at
-    100 TB. ``id_col`` must be non-negative (the tie-break negates it;
-    Long.MIN would overflow)."""
+    100 TB. The tie-break uses the bitwise-NOT ordering ``-1 - id``
+    (ADVICE r5): it reverses int64 order TOTALLY with no overflow, so
+    negative ids (e.g. xxhash64-derived) are safe — the old ``-id``
+    silently inverted ties for them and overflowed on Long.MIN."""
     w = F.struct(
         F.col(ts_col).alias("ts"),
-        (-F.col(id_col)).alias("neg_id"),
+        (F.lit(-1).cast("long") - F.col(id_col)).alias("neg_id"),
         *[F.col(c).alias(c) for c in payload_cols],
     )
     agg = df.groupBy(url_col).agg(
@@ -687,7 +689,7 @@ def latest_snapshot_per_url(
     return agg.select(
         url_col,
         F.col("w.ts").alias(ts_col),
-        (-F.col("w.neg_id")).alias(id_col),
+        (F.lit(-1).cast("long") - F.col("w.neg_id")).alias(id_col),
         *[F.col(f"w.{c}").alias(c) for c in payload_cols],
         "n_snapshots",
     )

@@ -78,7 +78,23 @@ def build_postings(tokens: DataFrame) -> DataFrame:
     )
 
 
-_EMPTY_RESULT_SCHEMA = "doc_id long, rnk long, score_i4 long, n_hit long"
+def _empty_result(src: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Empty top-k frame whose doc_id dtype MATCHES the source corpus
+    (ADVICE r5: the hardcoded ``doc_id long`` schema broke downstream
+    unions/joins for string-id corpora on the empty edge case)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return src.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("doc_id", src.schema[id_col].dataType),
+                StructField("rnk", LongType()),
+                StructField("score_i4", LongType()),
+                StructField("n_hit", LongType()),
+            ]
+        ),
+    )
 
 
 def _dl_stats(dl: DataFrame) -> tuple:
@@ -113,11 +129,19 @@ def _score_rank(
     c2 = round(k1 * (1.0 - b), 10)
     c3 = round(k1 * b, 10)
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # every float constant is CAST to DOUBLE explicitly (ADVICE r5,
+    # high): a bare literal like 52.411859999999998 parses as DECIMAL,
+    # dragging `dl / avgdl` into decimal(38,6) quantization that can
+    # diverge from the oracle's IEEE doubles by one 1e-4 unit and flip
+    # a rank; the decimal literal holds repr()'s <=17 significant
+    # digits exactly, so the cast reproduces the original double
+    # bit-for-bit on both engines
     score_i4 = F.expr(
         f"CAST(round(ln((CAST({n_docs} AS DOUBLE) - df + 0.5)"
         " / (df + 0.5) + 1.0)"
-        f" * ((tf * {c1!r}) / (tf + ({c2!r} + {c3!r}"
-        f" * (dl / {avgdl!r})))) * 10000) AS BIGINT)"
+        f" * ((tf * CAST({c1!r} AS DOUBLE))"
+        f" / (tf + (CAST({c2!r} AS DOUBLE) + CAST({c3!r} AS DOUBLE)"
+        f" * (dl / CAST({avgdl!r} AS DOUBLE))))) * 10000) AS BIGINT)"
     )
     scored = (
         tf.join(F.broadcast(dfq), "term")
@@ -177,9 +201,7 @@ def bm25_topk(
     else:
         n_docs, avgdl = _dl_stats(dl)
     if n_docs == 0:
-        return tokens.sparkSession.createDataFrame(
-            [], _EMPTY_RESULT_SCHEMA
-        )
+        return _empty_result(tokens)
     tf = (
         tokens.where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
@@ -386,7 +408,7 @@ def bm25_topk_served(
     dl = _table_or_warehouse(spark, dl_table)
     n_docs, avgdl = _dl_stats(dl)
     if n_docs == 0:
-        return spark.createDataFrame([], _EMPTY_RESULT_SCHEMA)
+        return _empty_result(post)
     tf = post.where(F.col("term").isin(terms)).select(
         "doc_id", "term", "tf"
     )

@@ -215,8 +215,20 @@ def compact_bucketed_table(spark, table: str) -> None:
     # managed copy in its place.
     info = _managed_table_info(spark, table)
     if not info:
+        # crash-window recovery (ADVICE r5): the swap below is
+        # DROP TABLE then ALTER .. RENAME, and a crash between the two
+        # leaves the serving table absent with the fully-written
+        # compacted data stranded under <table>__compact. Detect that
+        # exact state and rename the compacted table back into place —
+        # the store is then already compacted, so return.
+        leftover = f"{table}__compact"
+        if _managed_table_info(spark, leftover):
+            spark.sql(f"ALTER TABLE {leftover} RENAME TO {table}")
+            return
         raise ValueError(
-            f"compact requires an existing catalog table {table!r}"
+            f"compact requires an existing catalog table {table!r} "
+            f"(and no recoverable {leftover!r} from an interrupted "
+            "swap was found)"
         )
     if info.get("Type", "").upper() == "EXTERNAL":
         raise ValueError(

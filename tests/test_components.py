@@ -160,6 +160,33 @@ def test_keep_best_per_cluster_crafted(spark):
     assert out[10]["n_members"] == 2
 
 
+def test_keep_best_per_cluster_negative_ids(spark):
+    """ADVICE r5: xxhash64-derived ids are signed — ties must still
+    break toward the SMALLEST id for negative ids, and Long.MIN must
+    not overflow (the bitwise-NOT ordering, not arithmetic negation)."""
+    from knowledgegraphgenerator_spark.operators.components import (
+        keep_best_per_cluster,
+    )
+
+    long_min = -(2**63)
+    labels = spark.createDataFrame(
+        [(-5, 1), (-9, 1), (long_min, 2), (7, 2)],
+        "id long, component long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: tie at 4 -> keep min id (-9); cluster 2: tie ->
+        # keep Long.MIN (the smallest possible id)
+        [(-5, 4), (-9, 4), (long_min, 3), (7, 3)],
+        "id long, score long",
+    )
+    out = {
+        r["component"]: r
+        for r in keep_best_per_cluster(labels, scores).collect()
+    }
+    assert out[1]["kept_id"] == -9
+    assert out[2]["kept_id"] == long_min
+
+
 def test_keep_best_per_cluster_window_differential(spark):
     """Randomized differential: the combinable max-over-struct agg must
     equal the obvious row_number-window implementation."""

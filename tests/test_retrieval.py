@@ -102,6 +102,73 @@ def test_bm25_edge_cases(spark):
     assert bm25_topk(empty, ("apple",), k=5).count() == 0
 
 
+def test_bm25_long_repr_avgdl_matches_reference(spark):
+    """ADVICE r5 (high): float constants interpolated as bare literals
+    parse as DECIMAL, quantizing ``dl / avgdl`` to decimal(38,6) and
+    diverging from the oracle's IEEE doubles by one 1e-4 unit on
+    long-repr avgdl corpora (which can flip ranks). This corpus is
+    seeded so avgdl has a full 17-significant-digit repr; every score
+    must match the plain-Python double reference exactly."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    corpus = [
+        (
+            d,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(3, 23))
+            ),
+        )
+        for d in range(499)
+    ]
+    toks_py = {d: t.split() for d, t in corpus}
+    dl = {d: len(t) for d, t in toks_py.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    assert len(repr(avgdl)) > 10, f"corpus not long-repr: {avgdl!r}"
+    query = ("w0", "w7", "w31")
+    n = len(toks_py)
+    ref = {}
+    for d, t in toks_py.items():
+        total, hit = 0, 0
+        for q in sorted(set(query)):
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks_py.values() if q in tt)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s = idf * (
+                (tf * 2.2) / (tf + (0.3 + 0.9 * (dl[d] / avgdl)))
+            )
+            total += int(math.floor(s * 10000 + 0.5))
+            hit += 1
+        if hit:
+            ref[d] = (total, hit)
+    expected = sorted(
+        ((s, h, d) for d, (s, h) in ref.items()),
+        key=lambda x: (-x[0], x[2]),
+    )[:20]
+    from pyspark.sql import functions as F
+
+    toks = (
+        spark.createDataFrame(corpus, "doc_id long, text string")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    got = bm25_topk(toks, query, k=20).collect()
+    assert [
+        (r["score_i4"], r["n_hit"], r["doc_id"]) for r in got
+    ] == expected
+
+
+def test_bm25_empty_corpus_preserves_id_dtype(spark):
+    """ADVICE r5: the empty-corpus result must carry the CORPUS
+    doc_id dtype (string here), not a hardcoded long."""
+    toks = spark.createDataFrame([], "doc_id string, term string")
+    out = bm25_topk(toks, ("x",), k=5)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert out.count() == 0
+
+
 def test_postings_and_lengths(spark):
     toks = _tokens_df(spark)
     post = {
@@ -250,6 +317,32 @@ def test_compact_bucketed_table_after_appends(spark):
         .agg(F.count(F.lit(1)).alias("df"))
     )
     assert "Exchange" not in _plan(dfq)
+
+
+def test_compact_recovers_from_interrupted_swap(spark):
+    """ADVICE r5: a crash between DROP TABLE and ALTER..RENAME leaves
+    the serving table absent and the compacted data stranded under
+    <table>__compact. Re-running compact must rename it back into
+    place instead of failing with 'requires an existing catalog
+    table'."""
+    from knowledgegraphgenerator_spark.operators.retrieval import (
+        write_retrieval_tables,
+    )
+    from knowledgegraphgenerator_spark.operators.triples import (
+        compact_bucketed_table,
+    )
+
+    toks = _tokens_df(spark)
+    write_retrieval_tables(toks, "t_rec_post", "t_rec_dl", n_buckets=2)
+    before = sorted(map(tuple, spark.table("t_rec_post").collect()))
+    # simulate the crash window: the compacted table exists, the DROP
+    # of the original succeeded, the RENAME never ran
+    spark.sql("ALTER TABLE t_rec_post RENAME TO t_rec_post__compact")
+    compact_bucketed_table(spark, "t_rec_post")
+    assert sorted(map(tuple, spark.table("t_rec_post").collect())) == before
+    # and the recovered table compacts normally afterwards
+    compact_bucketed_table(spark, "t_rec_post")
+    assert sorted(map(tuple, spark.table("t_rec_post").collect())) == before
 
 
 def test_append_replay_and_repair(spark):
