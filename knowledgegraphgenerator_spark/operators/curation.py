@@ -442,6 +442,12 @@ def remove_duplicate_spans(
                 F.col("sp.shingle").alias("shingle"))
     )
     if variant == "groupby":
+        # the groupby form references the span explode from BOTH the
+        # dup-shingle aggregation and the join-back branch — persist it
+        # so the explode runs once per action instead of once per
+        # branch (r6; the 2-Generate recompute was the measured cost
+        # gap vs the window form, sf1.0: 16.5 s vs 8.5 s)
+        spans = spans.persist()
         dup_shingles = (
             spans.groupBy("shingle")
             .agg(

@@ -40,20 +40,29 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def token_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) token n-grams — pure SQL, no UDF."""
+    """Distinct (id, shingle) token n-grams — pure SQL, no UDF.
+
+    Distinctness is PER DOCUMENT (the id is part of every key), so it
+    is computed with ``array_distinct`` on the in-row shingle array
+    before the explode — zero shuffle (r6; the old row-level
+    ``.distinct()`` paid a full Exchange of the exploded shingle set:
+    ~2.6M rows at sf1.0, 33M at the 10^6-doc big point, for rows that
+    never needed to leave their input partition)."""
     return (
         df.select(F.col(id_col), F.split(text_col, r"\s+").alias("toks"))
         .where(F.size("toks") >= n)
         .select(
             id_col,
             F.explode(
-                F.expr(
-                    f"transform(slice(toks, 1, greatest(size(toks)-{n-1}, 0)),"
-                    f" (x, i) -> concat_ws(' ', slice(toks, i+1, {n})))"
+                F.array_distinct(
+                    F.expr(
+                        f"transform(slice(toks, 1,"
+                        f" greatest(size(toks)-{n-1}, 0)),"
+                        f" (x, i) -> concat_ws(' ', slice(toks, i+1, {n})))"
+                    )
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
 
 
@@ -61,33 +70,31 @@ def minhash_wide(
     shingles: DataFrame, id_col: str, k: int = 16
 ) -> DataFrame:
     """(id, mh0..mh{k-1}): all k permutation minima in ONE hash
-    aggregate (guide §2.3 'aggregate before you shuffle').
+    aggregate (guide §2.3 'aggregate before you shuffle') — k ``min``
+    agg expressions over one pass instead of the r5 k-way crossJoin
+    row explosion + second banding shuffle.
 
-    Value-identical to the historical long form (same affine maps
-    ``(2j+3)*h + 104729*(j+1) mod P`` over ``pmod(xxhash64(shingle),
-    P)``), but the k minima are k ``min`` agg expressions over ONE pass
-    instead of a k-way crossJoin row explosion: the shuffle input
-    collapses map-side to one row per (mapper, doc) — the r5 plan
-    generated k x |shingles| rows and shuffled (doc, j) keys, then paid
-    a SECOND shuffle to band them (r5 bench, sf1.0: minhash_scale alone
-    1.8 s, and the chain queries paid it twice per side of the band
-    self-join).
-
-    ``h`` is PROJECTED once per shingle row before the aggregate —
-    referencing the xxhash expression inside each of the k agg
-    expressions re-evaluates the hash k times per row (measured at
-    sf1.0 k=16: 5.7 s expression form vs projected form back at the
-    crossJoin baseline)."""
-    hashed = shingles.select(
-        id_col,
-        F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)).alias("h"),
-    )
-    return hashed.groupBy(id_col).agg(
+    Permutation j is ``pmod(xxhash64(shingle, j), P)`` — k INDEPENDENT
+    hash functions (the seed column makes xxhash64 a different
+    function per j). The r5 family was the affine ``(2j+3)*h +
+    104729*(j+1) mod P`` over ONE shared base hash, whose k minima are
+    CORRELATED: a single shingle whose base hash is tiny wins every
+    permutation (a_j <= 33, b_j <= 1.7M, so any other shingle needs
+    h' < ~h + 5e5 to compete), and a near-identical doc pair differing
+    only in that shingle shares ZERO bands. Found at sf0.1: the pair
+    (3062, 3354) with Jaccard 18/19 was invisible to all 16 one-row
+    bands, so the chain queries missed one oracle pair — the
+    documented ``1 - (1-J)^k`` banding recall requires independent
+    permutations, which this family now actually provides (miss
+    probability at J >= 0.8, k=16: (1-J)^16 <= 2.6e-12 per pair;
+    verified against the brute-force oracle at sf0.01 AND sf0.1).
+    Sketches persisted by a previous version's family are NOT
+    comparable to this one — rebuild signature stores on upgrade."""
+    return shingles.groupBy(id_col).agg(
         *[
             F.min(
                 F.pmod(
-                    F.lit(2 * j + 3) * F.col("h") + F.lit(104729 * (j + 1)),
-                    F.lit(MINHASH_P),
+                    F.xxhash64("shingle", F.lit(j)), F.lit(MINHASH_P)
                 )
             ).alias(f"mh{j}")
             for j in range(k)
@@ -236,16 +243,26 @@ def verify_jaccard(
     """Integer-exact Jaccard on candidates:
     keep pairs with inter/union >= num/den (no floats).
 
-    r6: candidates are prefiltered by the SOUND size-compatibility
-    bound before the (heavy) intersection join — inter <= min(na, nb)
-    and union >= max(na, nb), so a pair can only pass the threshold if
-    ``den * min(na, nb) >= num * max(na, nb)``; dropping the rest
-    cannot change the result and removes their shingle-expansion rows
-    before the intersection shuffle (guide §2.3 'shuffle fewer
-    bytes')."""
+    r6 shape: each side of a candidate pair joins ONE row carrying that
+    document's full (already per-doc-distinct) shingle array plus its
+    size, and the intersection is a narrow ``size(array_intersect)``
+    per pair — the r5 form exploded every candidate into |sh(a)| rows
+    and shuffled them into a (id_b, shingle) join (measured at the
+    10^6-doc big point: 2.9M candidates x ~47 shingles ≈ 138M join
+    rows, 29 s; the array form joins 2.9M single rows). Candidates are
+    also prefiltered by the SOUND size-compatibility bound before the
+    intersection is computed — inter <= min(na, nb) and union >=
+    max(na, nb), so a pair can only pass if ``den * min(na, nb) >=
+    num * max(na, nb)`` (guide §2.3 'shuffle fewer bytes'; §8 'decide
+    with small rows'). The explicit ``inter >= 1`` keeps parity with
+    the historical inner-join form, which never emitted
+    zero-intersection pairs regardless of threshold."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    # size-first: the compat filter runs over 8-byte size columns and
+    # prunes the candidate set (sf1.0: 13.9M -> 4.4M) BEFORE any row
+    # carries a shingle array through an exchange
     cand = (
         pairs.join(na, "id_a")
         .join(nb, "id_b")
@@ -253,21 +270,26 @@ def verify_jaccard(
             F.least("na", "nb") * threshold_den
             >= F.greatest("na", "nb") * threshold_num
         )
-        .select("id_a", "id_b")
     )
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    arrs = shingles.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr")
     )
+    sa = arrs.select(F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"))
+    sb = arrs.select(F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"))
     return (
-        inter.join(na, "id_a").join(nb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
         .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
         .where(
-            F.col("inter") * threshold_den >= F.col("union_n") * threshold_num
+            (F.col("inter") >= 1)
+            & (
+                F.col("inter") * threshold_den
+                >= F.col("union_n") * threshold_num
+            )
         )
         .select("id_a", "id_b", "inter", "union_n")
     )
@@ -548,31 +570,41 @@ def incremental_neardup_pairs_from_parts(
         .select("id_new", "id_old")
         .distinct()
     )
-    sizes_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
-    sizes_old = sh_old.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_old"))
-    inter = (
-        cand.join(
-            sh_new.select(F.col(id_col).alias("id_new"), "shingle"), "id_new"
-        )
-        .join(
-            sh_old.select(F.col(id_col).alias("id_old"), "shingle"),
-            ["id_old", "shingle"],
-        )
-        .groupBy("id_new", "id_old")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # array-intersect verify (r6, same change as verify_jaccard): one
+    # doc-set row per pair side + a narrow size(array_intersect)
+    # replaces the per-candidate shingle expansion join; the sound
+    # size-compatibility bound prunes can't-pass pairs first, and
+    # inter >= 1 keeps parity with the historical inner-join form
+    sets_new = sh_new.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr_new"),
+        F.count(F.lit(1)).alias("n_new"),
+    ).select(
+        F.col(id_col).alias("id_new"), "arr_new", "n_new"
+    )
+    sets_old = sh_old.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("arr_old"),
+        F.count(F.lit(1)).alias("n_old"),
+    ).select(
+        F.col(id_col).alias("id_old"), "arr_old", "n_old"
     )
     return (
-        inter.join(
-            sizes_new.select(F.col(id_col).alias("id_new"), "n_new"),
-            "id_new",
+        cand.join(sets_new, "id_new")
+        .join(sets_old, "id_old")
+        .where(
+            F.least("n_new", "n_old") * threshold_den
+            >= F.greatest("n_new", "n_old") * threshold_num
         )
-        .join(
-            sizes_old.select(F.col(id_col).alias("id_old"), "n_old"),
-            "id_old",
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("arr_new", "arr_old")).cast("long"),
         )
         .withColumn("union_n", F.col("n_new") + F.col("n_old") - F.col("inter"))
         .where(
-            F.col("inter") * threshold_den >= F.col("union_n") * threshold_num
+            (F.col("inter") >= 1)
+            & (
+                F.col("inter") * threshold_den
+                >= F.col("union_n") * threshold_num
+            )
         )
         .select("id_new", "id_old", "inter", "union_n")
     )

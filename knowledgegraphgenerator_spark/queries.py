@@ -167,7 +167,12 @@ def _shingles(spark, sf_dir):
     full shuffle of the exploded shingle set — Spark's cache manager
     dedups by canonicalized plan, so all of them share ONE entry and
     only the first action pays the materialization (the same pattern
-    the r5 neardup chain queries already used)."""
+    the r5 neardup chain queries already used).
+
+    Distinctness is per document, so it rides ``array_distinct`` on
+    the in-row shingle array — zero shuffle — instead of a row-level
+    ``.distinct()`` Exchange (r6, same change as
+    operators/dedup.token_shingles)."""
     return (
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("toks"))
@@ -175,13 +180,14 @@ def _shingles(spark, sf_dir):
         .select(
             "doc_id",
             F.explode(
-                F.expr(
-                    "transform(slice(toks, 1, greatest(size(toks)-2, 0)),"
-                    " (x, i) -> concat(x, ' ', toks[i+1], ' ', toks[i+2]))"
+                F.array_distinct(
+                    F.expr(
+                        "transform(slice(toks, 1, greatest(size(toks)-2, 0)),"
+                        " (x, i) -> concat(x, ' ', toks[i+1], ' ', toks[i+2]))"
+                    )
                 )
             ).alias("shingle"),
         )
-        .distinct()
         .persist()
     )
 
