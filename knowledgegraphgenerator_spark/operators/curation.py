@@ -821,6 +821,12 @@ def lm_doc_score(
         return _lm_empty_scores(df, id_col)
     ptf = _lm_ptf_from_tokens(score_t, id_col)
     if train is None:
+        # self-trained: the doc-bigram tf frame feeds the scoring join
+        # AND the model counts (c2, and c1 via c2) — persist it so the
+        # token split + pair explode + tf aggregation run once per
+        # action instead of three times (r6; the cache manager dedups
+        # repeated calls by plan)
+        ptf = ptf.persist()
         c2 = ptf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
     else:
         c2 = (
@@ -828,6 +834,10 @@ def lm_doc_score(
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).cast("long").alias("c2"))
         )
+        # held-out: the train-side bigram counts feed both the scoring
+        # join and the context-count derivation — persist the
+        # model-sized frame, not the corpus
+        c2 = c2.persist()
     return _lm_score_tail(ptf, c2, vocab, id_col)
 
 

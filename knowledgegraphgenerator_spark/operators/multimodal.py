@@ -35,7 +35,10 @@ _FEATURE_DIM = 8
 
 def _fake_decode(payload: bytes | None) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in decode: dims + feature vector derived from
-    the bytes themselves. NOT a real codec — a stable test double."""
+    the bytes themselves. NOT a real codec — a stable test double.
+    Reference scalar form; the hot path uses the value-identical
+    vectorized :func:`_fake_decode_np` (guide §4.2 — do the per-batch
+    work in native code, not a per-byte Python loop)."""
     if not payload:
         return 0, 0, 0, [0.0] * _FEATURE_DIM
     n = len(payload)
@@ -45,6 +48,59 @@ def _fake_decode(payload: bytes | None) -> tuple[int, int, int, list[float]]:
     for i, b in enumerate(payload[:4096]):
         acc[i % _FEATURE_DIM] = (acc[i % _FEATURE_DIM] * 31 + b) % 65536
     return width, height, 3, [a / 65536.0 for a in acc]
+
+
+# 31^k mod 2^16 for k = 0..511 (each feature lane sees at most
+# 4096 / 8 = 512 bytes); dtype int64 so the dot products below never
+# overflow (255 * 65535 * 512 < 2^63)
+def _pow31_table():
+    import numpy as np
+
+    out = np.empty(4096 // _FEATURE_DIM, dtype=np.int64)
+    v = 1
+    for k in range(out.shape[0]):
+        out[k] = v
+        v = (v * 31) % 65536
+    return out
+
+
+_POW31 = None
+
+
+def _fake_decode_np(payload: bytes | None) -> tuple[int, int, int, list]:
+    """Vectorized twin of :func:`_fake_decode` — identical values.
+
+    The scalar loop is the per-lane Horner recurrence
+    ``acc = (acc * 31 + b) % 65536`` over bytes at positions
+    ``lane, lane+8, ...``; unrolled, that is
+    ``sum(b_t * 31^(m-1-t)) mod 65536``, computed here as one NumPy dot
+    per lane against the precomputed power table (mod is applied once
+    after the sum, which the int64 bound above makes exact). The
+    measured difference is the whole multimodal bench point: the scalar
+    form burned ~4096 Python byte-ops per document."""
+    import numpy as np
+
+    global _POW31
+    if _POW31 is None:
+        _POW31 = _pow31_table()
+    if not payload:
+        return 0, 0, 0, [0.0] * _FEATURE_DIM
+    n = len(payload)
+    width = 16 + payload[0] % 240
+    height = 16 + (payload[n // 2] if n > 1 else 0) % 240
+    arr = np.frombuffer(payload, dtype=np.uint8, count=min(n, 4096)).astype(
+        np.int64
+    )
+    feats = []
+    for lane in range(_FEATURE_DIM):
+        lane_bytes = arr[lane::_FEATURE_DIM]
+        m = lane_bytes.shape[0]
+        if m == 0:
+            feats.append(0.0)
+            continue
+        acc = int(lane_bytes.dot(_POW31[:m][::-1])) % 65536
+        feats.append(acc / 65536.0)
+    return width, height, 3, feats
 
 
 def decode_and_featurize(
@@ -77,7 +133,7 @@ def decode_and_featurize(
                     acc += sizes.iloc[end]
                     end += 1
                 chunk = pdf.iloc[start:end]
-                decoded = [ _fake_decode(b) for b in chunk[payload_col] ]
+                decoded = [_fake_decode_np(b) for b in chunk[payload_col]]
                 yield pd.DataFrame(
                     {
                         id_col: chunk[id_col].values,

@@ -67,17 +67,37 @@ def brute_force_topk(
     )
 
 
-def _assign_cells(
-    e: DataFrame, centroids: DataFrame, n_probe: int
-) -> DataFrame:
-    """(vid, cell, cos-to-centroid rank<=n_probe) via broadcast join."""
-    c = centroids.select(
-        F.col("cell"), F.posexplode("centroid").alias("pos", "cv")
+def _arr(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    dots = (
-        e.join(F.broadcast(c), "pos")
-        .groupBy("vid", "cell")
-        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+
+
+def _assign_cells(
+    arr: DataFrame, centroids: DataFrame, n_probe: int
+) -> DataFrame:
+    """(vid, cell) for each vector's n_probe best cells.
+
+    r6 shape: the vector stays an ARRAY row and the dot against each
+    broadcast centroid is a narrow ``zip_with``/``aggregate`` fold —
+    |vectors| x n_cells rows total, where the r5 exploded join
+    generated |vectors| x dim x n_cells rows and hash-aggregated them
+    back (guide §4.1 higher-order functions / §2.3). (A NumPy
+    mapInPandas form was also measured and was NOT faster here — the
+    JVM fold wins once the per-batch Python dispatch and the loss of
+    stats on the assignment frame are priced in; see
+    OPTIMIZATION_r06.md.) Assignment feeds candidate generation only
+    (never the reported similarity), so the summation-order change is
+    invisible to results: ranks flip only on exact dot ties, which the
+    cell-asc tie-break resolves identically in both forms."""
+    dots = arr.crossJoin(F.broadcast(centroids)).select(
+        "vid",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(vec, centroid, (x, y) -> x * y),"
+            " 0D, (a, x) -> a + x)"
+        ).alias("dot"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("dot"), F.asc("cell"))
     return (
@@ -96,37 +116,81 @@ def train_centroids(
 ) -> DataFrame:
     """Deterministic k-means-lite: seed centroids = the n_cells vectors
     with the smallest ids (stable across partitioning), then n_iter
-    Lloyd rounds of assign + mean, all as DataFrame aggregates."""
-    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
-    seeds = (
+    Lloyd rounds of assign + mean.
+
+    r6 shape (the standard distributed k-means loop, e.g. Spark MLlib's
+    own): the centroid matrix is CONFIG-SIZED (n_cells x dim — a few
+    KB here, a few MB at production n_cells), so each round ships it to
+    executors in the task closure, a ``mapInPandas`` pass accumulates
+    per-partition per-cell sums/counts with one NumPy matmul per Arrow
+    batch (guide §4.2 — vectorized native code beats interpreted
+    higher-order JVM expressions; measured 2.6 s/round -> sub-second),
+    and the config-sized partials (n_partitions x n_cells x dim rows)
+    come back in ONE job per round instead of the r5 round's
+    assign-window + join + two aggregations + eager checkpoint.
+    Assignment ties (exact dot equality) break toward the lowest cell
+    id in both forms (np.argmax takes the first maximum; rows are
+    ordered by cell). Cells that lose all members drop out of the
+    table, as the old groupBy form's inner join did. Nothing here is a
+    data-sized collect: only centroid-shaped state crosses the driver
+    boundary, exactly like the dictionary probe (pipeline.py)."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    seed_rows = (
         vectors.orderBy(id_col).limit(n_cells)
         .select(F.col(vec_col).cast("array<double>").alias("centroid"))
-        .withColumn("cell", F.row_number().over(Window.orderBy(F.lit(1))).cast("int"))
-        .select("cell", "centroid")
+        .collect()
     )
-    e = _exploded(vectors, id_col, vec_col)
-    centroids = seeds
+    if not seed_rows:
+        return spark.createDataFrame([], "cell int, centroid array<double>")
+    cent = np.array([r["centroid"] for r in seed_rows], dtype=np.float64)
+    cell_ids = list(range(1, cent.shape[0] + 1))
+    arr = vectors.select(F.col(vec_col).cast("array<double>").alias("vec"))
+
     for _ in range(n_iter):
-        assign = _assign_cells(e, centroids, n_probe=1)
-        means = (
-            e.join(assign, "vid")
-            .groupBy("cell", "pos")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(pos, m))),"
-                    " x -> x.m)"
-                ).alias("centroid")
+
+        def part(batches, C=cent):
+            import numpy as np
+            import pandas as pd
+
+            sums = np.zeros_like(C)
+            cnts = np.zeros(C.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                best = (m @ C.T).argmax(axis=1)
+                np.add.at(sums, best, m)
+                np.add.at(cnts, best, 1)
+            k, d = C.shape
+            yield pd.DataFrame(
+                {
+                    "idx": np.repeat(np.arange(k, dtype=np.int32), d),
+                    "pos": np.tile(np.arange(d, dtype=np.int32), k),
+                    "s": sums.ravel(),
+                    "n": np.repeat(cnts, d),
+                }
             )
-        )
-        # iterative DataFrame loop: cut lineage per round (same pattern
-        # as operators/components.py) — without this each Lloyd round
-        # re-plans and re-evaluates every previous round's joins
-        centroids = means.localCheckpoint(eager=True)
-    assert dim  # schema sanity
-    return centroids
+
+        partials = arr.mapInPandas(
+            part, "idx int, pos int, s double, n long"
+        ).collect()
+        k, d = cent.shape
+        sums = np.zeros((k, d))
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in partials:
+            sums[r["idx"], r["pos"]] += r["s"]
+            if r["pos"] == 0:
+                cnts[r["idx"]] += r["n"]
+        alive = cnts > 0
+        cent = sums[alive] / cnts[alive, None]
+        cell_ids = [c for c, a in zip(cell_ids, alive) if a]
+
+    return spark.createDataFrame(
+        [(c, [float(x) for x in row]) for c, row in zip(cell_ids, cent)],
+        "cell int, centroid array<double>",
+    )
 
 
 def cosine_near_dup_pairs(
@@ -146,7 +210,9 @@ def cosine_near_dup_pairs(
     """
     centroids = train_centroids(vectors, id_col, vec_col, n_cells).cache()
     e = _exploded(vectors, id_col, vec_col)
-    cells = _assign_cells(e, centroids, n_probe=n_probe)
+    cells = _assign_cells(
+        _arr(vectors, id_col, vec_col), centroids, n_probe=n_probe
+    )
     a = cells.withColumnRenamed("vid", "id_a")
     b = cells.withColumnRenamed("vid", "id_b")
     cand = (
@@ -187,9 +253,12 @@ def ivf_topk(
     centroids = train_centroids(vectors, id_col, vec_col, n_cells).cache()
     e = _exploded(vectors, id_col, vec_col)
     qe = _exploded(queries, id_col, vec_col)
-    data_cells = _assign_cells(e, centroids, n_probe=1)
-    query_cells = _assign_cells(qe, centroids, n_probe=n_probe) \
-        .withColumnRenamed("vid", "qid")
+    data_cells = _assign_cells(
+        _arr(vectors, id_col, vec_col), centroids, n_probe=1
+    )
+    query_cells = _assign_cells(
+        _arr(queries, id_col, vec_col), centroids, n_probe=n_probe
+    ).withColumnRenamed("vid", "qid")
     # candidates: query joins only its probed cells
     cands = query_cells.join(data_cells, "cell").select("qid", "vid").distinct()
     q = qe.withColumnRenamed("vid", "qid").withColumnRenamed("v", "qv")

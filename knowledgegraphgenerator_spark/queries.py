@@ -337,7 +337,13 @@ def q_dict_merge_priority(spark, sf_dir):
 
 def _ranked(spark, sf_dir):
     """(doc_id, term, cnt, rnk): per-doc dictionary terms ranked ascending
-    by corpus count (O1 — rarest first = deepest, NGramStrategy.py:105)."""
+    by corpus count (O1 — rarest first = deepest, NGramStrategy.py:105).
+
+    Persisted (r6): path_edges references this frame four times in one
+    plan (parent/child self-join + root extraction) and three queries
+    (doc_terms_ranked, path_edges, path_prefix_antijoin) share the
+    exact plan — one cache entry serves them all, same discipline as
+    _shingles."""
     toks = _tokens(spark, sf_dir).select("doc_id", "term").distinct()
     u = _unigram_dict(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(F.asc("cnt"), F.asc("term"))
@@ -347,6 +353,7 @@ def _ranked(spark, sf_dir):
             "doc_id", "term", "cnt",
             F.row_number().over(w).cast("long").alias("rnk"),
         )
+        .persist()
     )
 
 
@@ -576,11 +583,15 @@ def q_neardup_pairs_scale(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
     wide = minhash_wide(sh, "doc_id", k=16)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # rows_per_band=1: recall-max banding; bucket guard off because the
     # oracle needs exact recall (the guard is a scale safety valve for
-    # adversarial hot buckets, tested separately)
+    # adversarial hot buckets, tested separately). The size_filter only
+    # drops pairs the 8/10 verify must reject (sound bound) BEFORE the
+    # candidate distinct.
     pairs = lsh_candidate_pairs_from_wide(
-        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None
+        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None,
+        size_filter=(sizes, 8, 10),
     )
     # recall-max banding over a hot vocabulary -> the co-occurrence
     # verify form (see operators/dedup.verify_jaccard_cooccur docstring)
@@ -647,8 +658,10 @@ def q_neardup_components(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
     wide = minhash_wide(sh, "doc_id", k=16)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = lsh_candidate_pairs_from_wide(
-        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None
+        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None,
+        size_filter=(sizes, 8, 10),
     )
     verified = verify_jaccard_cooccur(pairs, sh, "doc_id", 8, 10)
     return connected_components(verified, "id_a", "id_b").select(
@@ -1790,8 +1803,10 @@ def q_neardup_keep_best(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
     wide = minhash_wide(sh, "doc_id", k=16)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = lsh_candidate_pairs_from_wide(
-        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None
+        wide, "doc_id", rows_per_band=1, k=16, max_bucket=None,
+        size_filter=(sizes, 8, 10),
     )
     verified = verify_jaccard_cooccur(pairs, sh, "doc_id", 8, 10)
     labels = connected_components(verified, "id_a", "id_b")

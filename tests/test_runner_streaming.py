@@ -327,6 +327,29 @@ def test_incremental_normalize_exactly_once(spark, tmp_path):
     assert out.select("doc_id").distinct().count() == corpus.count()
 
 
+def test_multimodal_vectorized_decode_matches_scalar():
+    """The NumPy decode must be value-identical to the scalar Horner
+    reference for every payload shape (empty, shorter than one lane
+    round, ragged lanes, past the 4096-byte cap)."""
+    import random
+
+    from knowledgegraphgenerator_spark.operators.multimodal import (
+        _fake_decode,
+        _fake_decode_np,
+    )
+
+    rng = random.Random(3)
+    payloads = [None, b"", b"\x00", b"\xff" * 7, b"\x1f" * 8]
+    payloads += [
+        bytes(rng.randrange(256) for _ in range(n))
+        for n in (1, 5, 9, 63, 64, 100, 4095, 4096, 5000)
+    ]
+    for p in payloads:
+        assert _fake_decode_np(p) == _fake_decode(p), (
+            p if p is None else len(p)
+        )
+
+
 def test_multimodal_fake_decode(spark):
     from knowledgegraphgenerator_spark.operators.multimodal import (
         decode_and_featurize,
