@@ -467,12 +467,27 @@ def remove_duplicate_spans(
             .agg(F.collect_set("pos").alias("starts"))
         )
     elif variant == "window":
+        # r6: the canonical keeper is the lexicographic-min (doc_id,
+        # pos) of the shingle's occurrences, so `row_number() > 1`
+        # (which forces a full (shingle, doc_id, pos) sort and a second
+        # Window node) is equivalent to `row != min(struct(doc_id,
+        # pos))` over the UNORDERED shingle window — both aggregates
+        # share one Window node and the input sorts on the partition
+        # key only (differential-tested against the sequential
+        # reference and the groupby variant)
         w = Window.partitionBy("shingle")
-        wo = Window.partitionBy("shingle").orderBy("doc_id", "pos")
         dup_starts = (
             spans.withColumn("occ", F.count(F.lit(1)).over(w))
-            .withColumn("rn", F.row_number().over(wo))
-            .where((F.col("occ") >= min_repeats) & (F.col("rn") > 1))
+            .withColumn(
+                "keeper", F.min(F.struct("doc_id", "pos")).over(w)
+            )
+            .where(
+                (F.col("occ") >= min_repeats)
+                & (
+                    (F.col("doc_id") != F.col("keeper.doc_id"))
+                    | (F.col("pos") != F.col("keeper.pos"))
+                )
+            )
             .groupBy("doc_id")
             .agg(F.collect_set("pos").alias("starts"))
         )
