@@ -349,33 +349,33 @@ def verify_jaccard_cooccur(
     bounding exists to avoid.
 
     The size-compatibility prefilter (sound: inter <= min, union >=
-    max) drops can't-pass pairs BEFORE the pair-count shuffle; the
-    candidate restriction is an equi-join on the (id_a, id_b) key after
-    counting. Pairs with zero shared shingles appear in neither form
-    (inner joins), and cannot pass any threshold_num >= 1."""
+    max) runs INSIDE the pair-expansion lambda — each bucket element
+    carries its document's shingle count, so can't-pass pairs are
+    rejected by an integer compare during generation and never become
+    rows at all (r6; the join-then-filter form hashed every generated
+    row twice against the size table first). The candidate restriction
+    is an equi-join on the (id_a, id_b) key after counting. Pairs with
+    zero shared shingles appear in neither form (inner joins), and
+    cannot pass any threshold_num >= 1."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    sized = shingles.join(sizes, id_col).select(id_col, "shingle", "n")
     pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
+        "filter(flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-    )
-    co = (
-        shingles.groupBy("shingle")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_a", "p.id_b")
+        f"struct(least(x.{id_col}, y.{id_col}) as id_a,"
+        f" greatest(x.{id_col}, y.{id_col}) as id_b,"
+        " x.n as nx, y.n as ny)))), "
+        f"p -> least(p.nx, p.ny) * {threshold_den}"
+        f" >= greatest(p.nx, p.ny) * {threshold_num})"
     )
     inter = (
-        co.join(na, "id_a")
-        .join(nb, "id_b")
-        .where(
-            F.least("na", "nb") * threshold_den
-            >= F.greatest("na", "nb") * threshold_num
-        )
-        .groupBy("id_a", "id_b")
+        sized.groupBy("shingle")
+        .agg(F.collect_list(F.struct(id_col, "n")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (

@@ -498,23 +498,21 @@ def q_jaccard_pairs(spark, sf_dir):
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sized = sh.join(sizes, "doc_id").select("doc_id", "shingle", "n")
     pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
+        "filter(flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
-    )
-    pair_rows = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        "struct(least(x.doc_id, y.doc_id) as doc_a,"
+        " greatest(x.doc_id, y.doc_id) as doc_b,"
+        " x.n as nx, y.n as ny)))), "
+        "p -> least(p.nx, p.ny) * 10 >= greatest(p.nx, p.ny) * 8)"
     )
     inter = (
-        pair_rows.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .where(F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 8)
-        .groupBy("doc_a", "doc_b")
+        sized.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
