@@ -85,29 +85,42 @@ def repetition_signals(
     thresholds are policy, the signals are the operator).
 
     Plan shape: everything is per-document over that row's own token
-    sequence, so the whole operator is ONE narrow projection — no token
-    explode, no shuffle, no window; a 100 TB corpus is read exactly
-    once and the signals pipeline into the scan. Top counts come from
-    the max run length of the sorted n-gram array (an O(n log n)
-    per-row lambda, still whole-stage-codegen'd); duplicate mass is
-    size - size(array_distinct).
+    sequence, so the whole operator is ONE narrow chain of projections
+    — no token explode, no shuffle, no window; a 100 TB corpus is read
+    exactly once and the signals pipeline into the scan. Top counts
+    come from the max run length of the sorted n-gram array, computed
+    (r6) as boundary-position arithmetic — run-end positions are the
+    indices where the sorted array changes value, and the max run is
+    the max gap between consecutive run ends — instead of the old
+    ``aggregate`` fold that allocated a named_struct accumulator per
+    element (interpreted, and the measured bulk of the operator's
+    cost). Each non-cheap array (sorted forms, boundary lists) is
+    bound to its own projection column so Catalyst does not re-inline
+    it per reference. Duplicate mass is size - size(array_distinct).
     """
-    max_run = (
-        "aggregate({arr}, "
-        "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),"
-        " 'best', CAST(0 AS BIGINT)), "
-        "(acc, x) -> named_struct("
-        "'prev', x, "
-        "'run', IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)), "
-        "'best', greatest(acc.best,"
-        " IF(x <=> acc.prev, acc.run + 1, CAST(1 AS BIGINT)))), "
-        "acc -> acc.best)"
+    # run-end positions of a SORTED array c: indices i (1-based) where
+    # c[i] != c[i+1] (the last index always ends a run); try_element_at
+    # keeps the i = size(c) probe NULL-safe under ANSI
+    ends = (
+        "filter(sequence(1, size({c})), i -> "
+        "i = size({c}) OR try_element_at({c}, i + 1) != element_at({c}, i))"
+    )
+    # max run = max gap between consecutive run-end positions
+    # (prepending 0 as the zeroth boundary); empty array -> 0
+    max_gap = (
+        "IF(size({e}) = 0, CAST(0 AS BIGINT), "
+        "CAST(array_max(zip_with({e}, "
+        "concat(array(0), slice({e}, 1, size({e}) - 1)), "
+        "(x, y) -> x - y)) AS BIGINT))"
     )
     ngram = (
         "IF(size(toks) >= {n}, "
         "transform(sequence(1, size(toks) - {n1}), i -> {concat}), "
         "array())"
     )
+    # n-gram elements stay chr(2)-joined STRINGS: a struct-of-references
+    # form was measured 2x SLOWER (sort/distinct compare structs
+    # field-by-field interpreted; strings use optimized binary compare)
     bi_concat = (
         "concat(element_at(toks, i), chr(2), element_at(toks, i + 1))"
     )
@@ -127,9 +140,7 @@ def repetition_signals(
         .select(
             id_col,
             F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
-            F.expr(max_run.format(arr="array_sort(toks)")).alias(
-                "top_uni_cnt"
-            ),
+            F.expr("array_sort(toks)").alias("su"),
             F.expr(
                 ngram.format(n=2, n1=1, concat=bi_concat)
             ).alias("bi"),
@@ -140,11 +151,25 @@ def repetition_signals(
         .select(
             id_col,
             "n_tokens",
-            "top_uni_cnt",
-            F.expr(max_run.format(arr="array_sort(bi)")).alias("top_bi_cnt"),
+            F.expr(ends.format(c="su")).alias("eu"),
+            F.expr("array_sort(bi)").alias("sb"),
             F.expr(
                 "CAST(size(g5) - size(array_distinct(g5)) AS BIGINT)"
             ).alias("dup5_mass"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(max_gap.format(e="eu")).alias("top_uni_cnt"),
+            F.expr(ends.format(c="sb")).alias("eb"),
+            "dup5_mass",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "top_uni_cnt",
+            F.expr(max_gap.format(e="eb")).alias("top_bi_cnt"),
+            "dup5_mass",
         )
     )
     return out.select(

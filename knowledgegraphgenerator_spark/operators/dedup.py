@@ -89,7 +89,11 @@ def minhash_wide(
     probability at J >= 0.8, k=16: (1-J)^16 <= 2.6e-12 per pair;
     verified against the brute-force oracle at sf0.01 AND sf0.1).
     Sketches persisted by a previous version's family are NOT
-    comparable to this one — rebuild signature stores on upgrade."""
+    comparable to this one — rebuild signature stores on upgrade.
+
+    The per-doc shingle count ``n`` rides the same aggregate for free —
+    chain operators use it to reject size-incompatible pairs inside the
+    bucket-expansion lambda with zero extra passes."""
     return shingles.groupBy(id_col).agg(
         *[
             F.min(
@@ -98,7 +102,8 @@ def minhash_wide(
                 )
             ).alias(f"mh{j}")
             for j in range(k)
-        ]
+        ],
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
 
 
@@ -147,7 +152,11 @@ def _banded_signatures(
 
 
 def _banded_from_wide(
-    wide: DataFrame, id_col: str, rows_per_band: int, k: int
+    wide: DataFrame,
+    id_col: str,
+    rows_per_band: int,
+    k: int,
+    carry_n: bool = False,
 ) -> DataFrame:
     """(id, band, sig) derived NARROWLY from the wide signature row —
     no groupBy: the band concat is a per-row expression, so banding
@@ -166,16 +175,19 @@ def _banded_from_wide(
                 F.concat_ws("-", *cols).alias("sig"),
             )
         )
+    keep = [id_col] + (["n"] if carry_n else [])
     return wide.select(
-        id_col, F.explode(F.array(*entries)).alias("e")
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.sig").alias("sig"))
+        *keep, F.explode(F.array(*entries)).alias("e")
+    ).select(
+        *keep, F.col("e.band").alias("band"), F.col("e.sig").alias("sig")
+    )
 
 
 def _pairs_from_banded(
     banded: DataFrame,
     id_col: str,
     max_bucket: int | None,
-    size_filter: tuple[DataFrame, int, int] | None = None,
+    compat: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(band, sig) buckets → unordered candidate pairs (id_a < id_b).
 
@@ -189,43 +201,48 @@ def _pairs_from_banded(
     B, and collecting B ids is strictly smaller state than the join's
     B² intermediate rows.
 
-    ``size_filter=(sizes, num, den)`` — with ``sizes`` a per-doc
-    shingle-count frame (id_col, n) — drops generated pairs failing
-    the SOUND Jaccard size bound ``den * min(na, nb) >= num *
-    max(na, nb)`` BEFORE the output distinct, so can't-pass pairs
-    never enter the exchange (sf1.0 recall-max config: 13.9M -> 4.4M
-    distinct input). Only chain operators that immediately verify at
-    (num, den) pass it; the raw candidate surface stays complete."""
-    buckets = banded.groupBy("band", "sig").agg(
-        F.collect_list(F.col(id_col)).alias("ids")
-    )
-    if max_bucket is not None:
-        buckets = buckets.where(F.size("ids") <= max_bucket)
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-    )
-    out = (
+    ``compat=(num, den)`` (requires ``banded`` to carry the per-doc
+    shingle count ``n`` — :func:`_banded_from_wide` with
+    ``carry_n=True``) rejects generated pairs failing the SOUND
+    Jaccard size bound ``den * min(na, nb) >= num * max(na, nb)``
+    INSIDE the expansion lambda, on the raw slice BEFORE any struct is
+    built — can't-pass pairs cost one integer compare and never become
+    rows, let alone enter the output-distinct exchange (sf1.0
+    recall-max config: 13.9M -> 4.4M distinct input). Only chain
+    operators that immediately verify at (num, den) pass it; the raw
+    candidate surface stays complete."""
+    if compat is not None:
+        num, den = compat
+        buckets = banded.groupBy("band", "sig").agg(
+            F.collect_list(F.struct(F.col(id_col), F.col("n"))).alias("ids")
+        )
+        if max_bucket is not None:
+            buckets = buckets.where(F.size("ids") <= max_bucket)
+        pair_expr = (
+            "flatten(transform(ids, (x, i) -> "
+            "transform("
+            "filter(slice(ids, i + 2, size(ids)), y -> "
+            f"least(x.n, y.n) * {den} >= greatest(x.n, y.n) * {num}), "
+            f"y -> struct(least(x.{id_col}, y.{id_col}) as id_a,"
+            f" greatest(x.{id_col}, y.{id_col}) as id_b))))"
+        )
+    else:
+        buckets = banded.groupBy("band", "sig").agg(
+            F.collect_list(F.col(id_col)).alias("ids")
+        )
+        if max_bucket is not None:
+            buckets = buckets.where(F.size("ids") <= max_bucket)
+        pair_expr = (
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> "
+            "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+        )
+    return (
         buckets.where(F.size("ids") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b")
+        .distinct()
     )
-    if size_filter is not None:
-        sizes, num, den = size_filter
-        na = sizes.select(
-            F.col(id_col).alias("id_a"), F.col("n").alias("na")
-        )
-        nb = sizes.select(
-            F.col(id_col).alias("id_b"), F.col("n").alias("nb")
-        )
-        out = (
-            out.join(na, "id_a")
-            .join(nb, "id_b")
-            .where(F.least("na", "nb") * den >= F.greatest("na", "nb") * num)
-            .select("id_a", "id_b")
-        )
-    return out.distinct()
 
 
 def lsh_candidate_pairs(
@@ -248,16 +265,18 @@ def lsh_candidate_pairs_from_wide(
     rows_per_band: int,
     k: int,
     max_bucket: int | None = 1000,
-    size_filter: tuple[DataFrame, int, int] | None = None,
+    compat: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Candidate pairs straight from the WIDE signature row: banding is
     narrow (:func:`_banded_from_wide`), so the whole
     signatures→candidates path is minhash_wide's groupBy(id) + one
     groupBy(band, sig) + the output distinct — 3 Exchanges end to end
-    vs ~12 in the r5 self-join form. ``size_filter`` as in
-    :func:`_pairs_from_banded`."""
-    banded = _banded_from_wide(wide, id_col, rows_per_band, k)
-    return _pairs_from_banded(banded, id_col, max_bucket, size_filter)
+    vs ~12 in the r5 self-join form. ``compat`` as in
+    :func:`_pairs_from_banded` (the wide row carries ``n``)."""
+    banded = _banded_from_wide(
+        wide, id_col, rows_per_band, k, carry_n=compat is not None
+    )
+    return _pairs_from_banded(banded, id_col, max_bucket, compat)
 
 
 def verify_jaccard(
@@ -361,14 +380,16 @@ def verify_jaccard_cooccur(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     sized = shingles.join(sizes, id_col).select(id_col, "shingle", "n")
+    # compat filter runs on the RAW slice BEFORE any struct is built,
+    # so rejected pairs cost one integer compare and zero allocations
     pair_expr = (
-        "filter(flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        f"struct(least(x.{id_col}, y.{id_col}) as id_a,"
-        f" greatest(x.{id_col}, y.{id_col}) as id_b,"
-        " x.n as nx, y.n as ny)))), "
-        f"p -> least(p.nx, p.ny) * {threshold_den}"
-        f" >= greatest(p.nx, p.ny) * {threshold_num})"
+        "flatten(transform(ids, (x, i) -> "
+        "transform("
+        "filter(slice(ids, i + 2, size(ids)), y -> "
+        f"least(x.n, y.n) * {threshold_den}"
+        f" >= greatest(x.n, y.n) * {threshold_num}), "
+        f"y -> struct(least(x.{id_col}, y.{id_col}) as id_a,"
+        f" greatest(x.{id_col}, y.{id_col}) as id_b))))"
     )
     inter = (
         sized.groupBy("shingle")
@@ -451,11 +472,10 @@ def near_dedup(
     plan, so repeated calls reuse one entry rather than accumulating.
     """
     sh = token_shingles(df, text_col, id_col, shingle_n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     wide = minhash_wide(sh, id_col, k)
     pairs = lsh_candidate_pairs_from_wide(
         wide, id_col, rows_per_band, k, max_bucket=1000,
-        size_filter=(sizes, threshold_num, threshold_den),
+        compat=(threshold_num, threshold_den),
     )
     dups = verify_jaccard(pairs, sh, id_col, threshold_num, threshold_den)
     drop = dups.select(F.col("id_b").alias(id_col)).distinct()
@@ -504,11 +524,10 @@ def crawl_dedup(
     """
     uniq = exact_dedup(df, text_col, id_col).persist()
     sh = token_shingles(uniq, text_col, id_col, shingle_n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     wide = minhash_wide(sh, id_col, k)
     pairs = lsh_candidate_pairs_from_wide(
         wide, id_col, rows_per_band, k, max_bucket=max_bucket,
-        size_filter=(sizes, threshold_num, threshold_den),
+        compat=(threshold_num, threshold_den),
     )
     verify = (
         verify_jaccard_cooccur if verify_variant == "cooccur"

@@ -499,13 +499,15 @@ def q_jaccard_pairs(spark, sf_dir):
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     sized = sh.join(sizes, "doc_id").select("doc_id", "shingle", "n")
+    # compat filter on the raw slice BEFORE struct construction —
+    # rejected pairs cost one integer compare, zero allocations
     pair_expr = (
-        "filter(flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(least(x.doc_id, y.doc_id) as doc_a,"
-        " greatest(x.doc_id, y.doc_id) as doc_b,"
-        " x.n as nx, y.n as ny)))), "
-        "p -> least(p.nx, p.ny) * 10 >= greatest(p.nx, p.ny) * 8)"
+        "flatten(transform(ids, (x, i) -> "
+        "transform("
+        "filter(slice(ids, i + 2, size(ids)), y -> "
+        "least(x.n, y.n) * 10 >= greatest(x.n, y.n) * 8), "
+        "y -> struct(least(x.doc_id, y.doc_id) as doc_a,"
+        " greatest(x.doc_id, y.doc_id) as doc_b))))"
     )
     inter = (
         sized.groupBy("shingle")
@@ -581,15 +583,14 @@ def q_neardup_pairs_scale(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
     wide = minhash_wide(sh, "doc_id", k=16)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # rows_per_band=1: recall-max banding; bucket guard off because the
     # oracle needs exact recall (the guard is a scale safety valve for
-    # adversarial hot buckets, tested separately). The size_filter only
-    # drops pairs the 8/10 verify must reject (sound bound) BEFORE the
-    # candidate distinct.
+    # adversarial hot buckets, tested separately). compat only drops
+    # pairs the 8/10 verify must reject (sound bound) inside the
+    # expansion lambda, before the candidate distinct.
     pairs = lsh_candidate_pairs_from_wide(
         wide, "doc_id", rows_per_band=1, k=16, max_bucket=None,
-        size_filter=(sizes, 8, 10),
+        compat=(8, 10),
     )
     # recall-max banding over a hot vocabulary -> the co-occurrence
     # verify form (see operators/dedup.verify_jaccard_cooccur docstring).
@@ -660,10 +661,9 @@ def q_neardup_components(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
     wide = minhash_wide(sh, "doc_id", k=16)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = lsh_candidate_pairs_from_wide(
         wide, "doc_id", rows_per_band=1, k=16, max_bucket=None,
-        size_filter=(sizes, 8, 10),
+        compat=(8, 10),
     )
     verified = verify_jaccard_cooccur(pairs, sh, "doc_id", 8, 10).persist()
     return connected_components(verified, "id_a", "id_b").select(
@@ -1805,10 +1805,9 @@ def q_neardup_keep_best(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sh = token_shingles(docs, "text", "doc_id", n=3).persist()
     wide = minhash_wide(sh, "doc_id", k=16)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = lsh_candidate_pairs_from_wide(
         wide, "doc_id", rows_per_band=1, k=16, max_bucket=None,
-        size_filter=(sizes, 8, 10),
+        compat=(8, 10),
     )
     verified = verify_jaccard_cooccur(pairs, sh, "doc_id", 8, 10).persist()
     labels = connected_components(verified, "id_a", "id_b")
