@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 MINHASH_P = 2147483647  # Mersenne prime 2^31-1: a*h+b stays < 2^63 (ANSI)
 
+# Identifies the MinHash permutation family; bands/sketches persisted by
+# a DIFFERENT family are not comparable (their sigs never collide with
+# this family's) and matching them silently admits every near-duplicate.
+# The streaming signature store stamps this into a marker file and
+# refuses to serve a store written under another family.
+SIGNATURE_FAMILY = "xxhash64-seeded-v2"
+
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep one row id per distinct content value (P12 dropDuplicates with
@@ -47,7 +54,15 @@ def token_shingles(
     before the explode — zero shuffle (r6; the old row-level
     ``.distinct()`` paid a full Exchange of the exploded shingle set:
     ~2.6M rows at sf1.0, 33M at the 10^6-doc big point, for rows that
-    never needed to leave their input partition)."""
+    never needed to leave their input partition).
+
+    PRECONDITION (r6, inherited from every in-repo call site): ``df``
+    has at most ONE row per ``id_col``. With duplicate-id rows the old
+    global distinct also collapsed duplicates ACROSS rows; this form
+    would emit them twice, inflating downstream set sizes. Corpora here
+    always carry unique doc ids (and ``exact_dedup`` output is unique
+    per (content, id)); a caller with repeated ids must pre-collapse
+    them."""
     return (
         df.select(F.col(id_col), F.split(text_col, r"\s+").alias("toks"))
         .where(F.size("toks") >= n)
@@ -110,14 +125,13 @@ def minhash_wide(
 def minhash_signatures(
     shingles: DataFrame, id_col: str, k: int = 16
 ) -> DataFrame:
-    """(id, j, mh): k permutation minima over xxhash64(shingle).
-
-    Fixed odd multipliers (2j+3) and offsets over a Mersenne-prime field;
-    xxhash64 gives the base uniformity, the affine maps decorrelate the k
-    minima. Since r6 this is a narrow posexplode of :func:`minhash_wide`
-    (one shuffle, no k-way row explosion); values are identical to the
-    historical crossJoin form.
-    """
+    """(id, j, mh): k permutation minima, the LONG form of
+    :func:`minhash_wide` (a narrow posexplode of the wide row — one
+    shuffle, no k-way row explosion). Permutation j is
+    ``pmod(xxhash64(shingle, j), P)`` — the r6 INDEPENDENT family; see
+    minhash_wide for why the old affine family was replaced and why
+    sketches persisted under it must be rebuilt
+    (``SIGNATURE_FAMILY``)."""
     wide = minhash_wide(shingles, id_col, k)
     return wide.select(
         id_col,
@@ -183,6 +197,38 @@ def _banded_from_wide(
     )
 
 
+def in_bucket_pair_expr(
+    out_a: str,
+    out_b: str,
+    elem_id: str | None = None,
+    compat: tuple[int, int] | None = None,
+) -> str:
+    """SQL for expanding a bucket array ``ids`` into unordered pairs
+    (``out_a`` < ``out_b``) — the ONE place the in-bucket expansion
+    lambda lives (it is used by candidate generation, the co-occurrence
+    verify and two oracle-parity queries; r6 review asked for a single
+    source). ``elem_id=None`` means elements are bare ids;
+    otherwise they are structs and ``elem_id`` names the id field (the
+    struct then must also carry ``n`` when ``compat=(num, den)`` asks
+    for the sound size bound, which filters the raw slice BEFORE any
+    struct is built)."""
+    x_id = "x" if elem_id is None else f"x.{elem_id}"
+    y_id = "y" if elem_id is None else f"y.{elem_id}"
+    inner = f"slice(ids, i + 2, size(ids))"
+    if compat is not None:
+        num, den = compat
+        inner = (
+            f"filter({inner}, y -> "
+            f"least(x.n, y.n) * {den} >= greatest(x.n, y.n) * {num})"
+        )
+    return (
+        "flatten(transform(ids, (x, i) -> "
+        f"transform({inner}, y -> "
+        f"struct(least({x_id}, {y_id}) as {out_a},"
+        f" greatest({x_id}, {y_id}) as {out_b}))))"
+    )
+
+
 def _pairs_from_banded(
     banded: DataFrame,
     id_col: str,
@@ -199,7 +245,13 @@ def _pairs_from_banded(
     a separate count + semi-join pass. A bucket of B docs still yields
     B(B-1)/2 pair rows, exactly as the self-join did — the guard bounds
     B, and collecting B ids is strictly smaller state than the join's
-    B² intermediate rows.
+    B² intermediate rows. Note the expansion materializes one bucket's
+    pair array inside a single row before the explode — per-task memory
+    is O(max_B²) structs, which the guard bounds (max_bucket=1000 →
+    ≤ 500k structs ≈ 10 MB); the unguarded max_bucket=None configs
+    exist only for the oracle-parity queries, whose measured max bucket
+    at the driver scales is ~128 (8k structs). A truly degenerate
+    unguarded bucket should use the guard — that is what it is for.
 
     ``compat=(num, den)`` (requires ``banded`` to carry the per-doc
     shingle count ``n`` — :func:`_banded_from_wide` with
@@ -218,13 +270,8 @@ def _pairs_from_banded(
         )
         if max_bucket is not None:
             buckets = buckets.where(F.size("ids") <= max_bucket)
-        pair_expr = (
-            "flatten(transform(ids, (x, i) -> "
-            "transform("
-            "filter(slice(ids, i + 2, size(ids)), y -> "
-            f"least(x.n, y.n) * {den} >= greatest(x.n, y.n) * {num}), "
-            f"y -> struct(least(x.{id_col}, y.{id_col}) as id_a,"
-            f" greatest(x.{id_col}, y.{id_col}) as id_b))))"
+        pair_expr = in_bucket_pair_expr(
+            "id_a", "id_b", elem_id=id_col, compat=(num, den)
         )
     else:
         buckets = banded.groupBy("band", "sig").agg(
@@ -232,11 +279,7 @@ def _pairs_from_banded(
         )
         if max_bucket is not None:
             buckets = buckets.where(F.size("ids") <= max_bucket)
-        pair_expr = (
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), y -> "
-            "struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
-        )
+        pair_expr = in_bucket_pair_expr("id_a", "id_b")
     return (
         buckets.where(F.size("ids") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
@@ -380,16 +423,9 @@ def verify_jaccard_cooccur(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     sized = shingles.join(sizes, id_col).select(id_col, "shingle", "n")
-    # compat filter runs on the RAW slice BEFORE any struct is built,
-    # so rejected pairs cost one integer compare and zero allocations
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform("
-        "filter(slice(ids, i + 2, size(ids)), y -> "
-        f"least(x.n, y.n) * {threshold_den}"
-        f" >= greatest(x.n, y.n) * {threshold_num}), "
-        f"y -> struct(least(x.{id_col}, y.{id_col}) as id_a,"
-        f" greatest(x.{id_col}, y.{id_col}) as id_b))))"
+    pair_expr = in_bucket_pair_expr(
+        "id_a", "id_b", elem_id=id_col,
+        compat=(threshold_num, threshold_den),
     )
     inter = (
         sized.groupBy("shingle")
@@ -457,6 +493,7 @@ def near_dedup(
     rows_per_band: int = 2,
     threshold_num: int = 8,
     threshold_den: int = 10,
+    persist: bool = True,
 ) -> DataFrame:
     """Full near-dup chain → df minus non-canonical members.
 
@@ -471,7 +508,9 @@ def near_dedup(
     path (guide §2.4). Spark's cache manager dedups the persist by
     plan, so repeated calls reuse one entry rather than accumulating.
     """
-    sh = token_shingles(df, text_col, id_col, shingle_n).persist()
+    sh = token_shingles(df, text_col, id_col, shingle_n)
+    if persist:
+        sh = sh.persist()
     wide = minhash_wide(sh, id_col, k)
     pairs = lsh_candidate_pairs_from_wide(
         wide, id_col, rows_per_band, k, max_bucket=1000,
@@ -493,6 +532,7 @@ def crawl_dedup(
     threshold_den: int = 10,
     max_bucket: int | None = 10_000,
     verify_variant: str = "expand",
+    persist: bool = True,
 ) -> DataFrame:
     """Crawl-order corpus dedup: EXACT hash dedup first, THEN MinHash
     near-dedup over the exact survivors — one operator so the ordering
@@ -520,10 +560,18 @@ def crawl_dedup(
     ``verify_variant="cooccur"`` selects the co-occurrence verify form
     (:func:`verify_jaccard_cooccur` — right for recall-max unguarded
     banding over hot vocabularies; default "expand" is the
-    candidate-bounded production shape).
+    candidate-bounded production shape). ``persist=False`` skips the
+    internal persists: a long-lived caller invoking this per micro-batch
+    (streaming ingest) would otherwise accumulate one never-released
+    cache entry per batch, since each batch's plan is new and the cache
+    manager cannot dedup them.
     """
-    uniq = exact_dedup(df, text_col, id_col).persist()
-    sh = token_shingles(uniq, text_col, id_col, shingle_n).persist()
+    uniq = exact_dedup(df, text_col, id_col)
+    if persist:
+        uniq = uniq.persist()
+    sh = token_shingles(uniq, text_col, id_col, shingle_n)
+    if persist:
+        sh = sh.persist()
     wide = minhash_wide(sh, id_col, k)
     pairs = lsh_candidate_pairs_from_wide(
         wide, id_col, rows_per_band, k, max_bucket=max_bucket,

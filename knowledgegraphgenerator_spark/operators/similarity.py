@@ -173,16 +173,27 @@ def train_centroids(
                 }
             )
 
-        partials = arr.mapInPandas(
-            part, "idx int, pos int, s double, n long"
-        ).collect()
+        # merge the per-partition partials INSIDE Spark first (k x d
+        # rows reach the driver regardless of partition count), then
+        # scatter them into the centroid matrix with vectorized NumPy
+        # indexing — no per-row Python loop (r6 review finding: at
+        # production n_cells x dim the raw partial set is
+        # n_partitions x k x d rows and a row-at-a-time merge would
+        # dominate or OOM the driver)
+        merged = (
+            arr.mapInPandas(part, "idx int, pos int, s double, n long")
+            .groupBy("idx", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .toPandas()
+        )
         k, d = cent.shape
         sums = np.zeros((k, d))
         cnts = np.zeros(k, dtype=np.int64)
-        for r in partials:
-            sums[r["idx"], r["pos"]] += r["s"]
-            if r["pos"] == 0:
-                cnts[r["idx"]] += r["n"]
+        idx = merged["idx"].to_numpy()
+        pos = merged["pos"].to_numpy()
+        sums[idx, pos] = merged["s"].to_numpy()
+        at0 = pos == 0
+        cnts[idx[at0]] = merged["n"].to_numpy()[at0]
         alive = cnts > 0
         cent = sums[alive] / cnts[alive, None]
         cell_ids = [c for c, a in zip(cell_ids, alive) if a]

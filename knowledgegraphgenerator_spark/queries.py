@@ -469,11 +469,11 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     buckets = bands.groupBy("band", "h0", "h1").agg(
         F.collect_list("doc_id").alias("ids")
     )
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        in_bucket_pair_expr,
     )
+
+    pair_expr = in_bucket_pair_expr("doc_a", "doc_b")
     return (
         buckets.where(F.size("ids") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
@@ -499,15 +499,12 @@ def q_jaccard_pairs(spark, sf_dir):
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     sized = sh.join(sizes, "doc_id").select("doc_id", "shingle", "n")
-    # compat filter on the raw slice BEFORE struct construction —
-    # rejected pairs cost one integer compare, zero allocations
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform("
-        "filter(slice(ids, i + 2, size(ids)), y -> "
-        "least(x.n, y.n) * 10 >= greatest(x.n, y.n) * 8), "
-        "y -> struct(least(x.doc_id, y.doc_id) as doc_a,"
-        " greatest(x.doc_id, y.doc_id) as doc_b))))"
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        in_bucket_pair_expr,
+    )
+
+    pair_expr = in_bucket_pair_expr(
+        "doc_a", "doc_b", elem_id="doc_id", compat=(8, 10)
     )
     inter = (
         sized.groupBy("shingle")

@@ -217,6 +217,71 @@ def incremental_kg_triples_blocked(
     q.awaitTermination()
 
 
+def _check_signature_store_family(spark, store_dir: str) -> None:
+    """Refuse to serve a signature store written under a DIFFERENT
+    MinHash permutation family (r6 review finding): bands from another
+    family never collide with this one's, so admitting against them
+    silently treats every near-duplicate as novel. New/empty stores are
+    stamped with the current ``dedup.SIGNATURE_FAMILY``; a store with
+    data but no stamp predates the marker (or was written by an older
+    family) and must be rebuilt — deleting ``shingles/`` and ``bands/``
+    is enough, the stream's backfill loop re-derives them from corpus
+    text under the current family."""
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        SIGNATURE_FAMILY,
+    )
+    from knowledgegraphgenerator_spark.plans.runner import (
+        fs_exists,
+        hadoop_fs,
+        list_subdirs,
+    )
+
+    marker = f"{store_dir}/_SIG_FAMILY"
+    rebuild_hint = (
+        f"delete {store_dir}/shingles, {store_dir}/bands and "
+        f"{marker}; the stream backfills the store from corpus text "
+        "under the current family"
+    )
+    if fs_exists(spark, marker):
+        # NOT spark.read.text: Spark's file index skips _-prefixed
+        # files (the same hidden-file rule that protects _SUCCESS), so
+        # the marker must be read through the FileSystem API directly
+        jvm = spark.sparkContext._jvm
+        fs, hpath = hadoop_fs(spark, marker)
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(hpath), "UTF-8")
+        )
+        try:
+            found = (reader.readLine() or "").strip()
+        finally:
+            reader.close()
+        if found != SIGNATURE_FAMILY:
+            raise ValueError(
+                f"signature store {store_dir} was written under MinHash "
+                f"family {found!r}; this build uses "
+                f"{SIGNATURE_FAMILY!r} — their band signatures never "
+                f"match, so serving it would silently admit every "
+                f"near-duplicate. To rebuild: {rebuild_hint}"
+            )
+        return
+    has_data = bool(list_subdirs(spark, f"{store_dir}/shingles")) or bool(
+        list_subdirs(spark, f"{store_dir}/bands")
+    )
+    if has_data:
+        raise ValueError(
+            f"signature store {store_dir} has data but no _SIG_FAMILY "
+            f"marker — it predates the family stamp (or was written by "
+            f"an older build) and its sketches are not comparable to "
+            f"{SIGNATURE_FAMILY!r}. To rebuild: {rebuild_hint}"
+        )
+    fs, hpath = hadoop_fs(spark, marker)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(SIGNATURE_FAMILY.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def incremental_ingest_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -364,6 +429,9 @@ def incremental_ingest_dedup(
         ).persist()
         lm_model = (lm_c2, lm_vocab, lm_c1)
 
+    if store_dir is not None:
+        _check_signature_store_family(spark, store_dir)
+
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 64)
@@ -419,7 +487,11 @@ def incremental_ingest_dedup(
                 batch_df, lm_model[0], lm_model[1], max_avg_nll,
                 c1=lm_model[2],
             )
-        batch = crawl_dedup(batch_df, "text", "doc_id")
+        # persist=False: each micro-batch is a NEW plan, so the
+        # operator's internal persists could never be deduped or
+        # released — a long-lived stream would leak one cache entry
+        # per batch (r6 review finding)
+        batch = crawl_dedup(batch_df, "text", "doc_id", persist=False)
         prior = _corpus_batches(batch_id)
         if store_dir is not None:
             # the store is a derived CACHE of the corpus: any corpus

@@ -327,6 +327,43 @@ def test_incremental_normalize_exactly_once(spark, tmp_path):
     assert out.select("doc_id").distinct().count() == corpus.count()
 
 
+def test_signature_store_family_guard(spark, tmp_path):
+    """r6: the signature store is only comparable to sketches of the
+    SAME MinHash family — a fresh store is stamped, a stamped store
+    round-trips, a foreign-family stamp refuses loudly, and an
+    unstamped store that already has data refuses (it predates the
+    marker, so its sketches cannot be trusted)."""
+    import pytest
+
+    from knowledgegraphgenerator_spark.operators.dedup import (
+        SIGNATURE_FAMILY,
+    )
+    from knowledgegraphgenerator_spark.streaming.incremental import (
+        _check_signature_store_family,
+    )
+
+    store = str(tmp_path / "store")
+    _check_signature_store_family(spark, store)  # fresh: stamps
+    with open(f"{store}/_SIG_FAMILY") as f:
+        assert f.read().strip() == SIGNATURE_FAMILY
+    _check_signature_store_family(spark, store)  # idempotent
+    with open(f"{store}/_SIG_FAMILY", "w") as f:
+        f.write("affine-mersenne-v1")
+    # drop the hadoop local-FS checksum sidecar the stamp created — the
+    # rewrite above would otherwise fail its CRC (also a loud refusal,
+    # but not the one under test)
+    crc = f"{store}/._SIG_FAMILY.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="family"):
+        _check_signature_store_family(spark, store)
+
+    store2 = str(tmp_path / "store2")
+    os.makedirs(f"{store2}/bands/batch_id=0")
+    with pytest.raises(ValueError, match="_SIG_FAMILY"):
+        _check_signature_store_family(spark, store2)
+
+
 def test_multimodal_vectorized_decode_matches_scalar():
     """The NumPy decode must be value-identical to the scalar Horner
     reference for every payload shape (empty, shorter than one lane
